@@ -1,0 +1,84 @@
+"""Cepstral mean/variance normalization (per speaker).
+
+Reference behavior: ``compute-cmvn-stats`` accumulates per-speaker stats of
+shape ``[2, D+1]`` (row 0 = [sum x, count], row 1 = [sum x^2, 0]); ``apply-cmvn``
+normalizes each utterance by its speaker's stats
+(``kaldi-master/src/transform/cmvn.{h,cc}``, ``featbin/compute-cmvn-stats.cpp``,
+``scr/steps/compute_cmvn_stats.cpp``).
+
+TPU design: stats for all speakers are accumulated in one
+``jax.ops.segment_sum`` over a speaker-id vector (the reference's
+``spk2utt``-driven sequential loop becomes a single batched reduction), and
+application is a gather + fused elementwise op.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def acc_cmvn_stats_batch(feats: jnp.ndarray, num_frames: jnp.ndarray,
+                         spk_ids: jnp.ndarray, num_speakers: int) -> jnp.ndarray:
+    """``[B, T, D]`` padded features + ``[B]`` frame counts + ``[B]`` speaker ids
+    -> ``[num_speakers, 2, D+1]`` CMVN stats."""
+    b, t, d = feats.shape
+    mask = (jnp.arange(t)[None, :] < num_frames[:, None]).astype(feats.dtype)
+    x = feats * mask[:, :, None]
+    sum_x = jax.ops.segment_sum(jnp.sum(x, axis=1), spk_ids, num_speakers)
+    sum_x2 = jax.ops.segment_sum(jnp.sum(x * x, axis=1), spk_ids, num_speakers)
+    counts = jax.ops.segment_sum(num_frames.astype(feats.dtype), spk_ids, num_speakers)
+    stats = jnp.zeros((num_speakers, 2, d + 1), feats.dtype)
+    stats = stats.at[:, 0, :d].set(sum_x)
+    stats = stats.at[:, 0, d].set(counts)
+    stats = stats.at[:, 1, :d].set(sum_x2)
+    return stats
+
+
+def acc_cmvn_stats(feats: np.ndarray) -> np.ndarray:
+    """Single-matrix stats ``[2, D+1]`` (host-side convenience)."""
+    t, d = feats.shape
+    stats = np.zeros((2, d + 1), dtype=np.float64)
+    stats[0, :d] = feats.sum(axis=0)
+    stats[0, d] = t
+    stats[1, :d] = (feats.astype(np.float64) ** 2).sum(axis=0)
+    return stats.astype(np.float32)
+
+
+def fake_cmvn_stats(dim: int) -> np.ndarray:
+    """'Fake' no-op stats (reference: compute-cmvn-stats --fake / kaldi_scr.h:87-94):
+    count 1, zero mean, unit variance."""
+    stats = np.zeros((2, dim + 1), dtype=np.float32)
+    stats[0, dim] = 1.0
+    stats[1, :dim] = 1.0
+    return stats
+
+
+def apply_cmvn(feats: jnp.ndarray, stats: jnp.ndarray, norm_vars: bool = False) -> jnp.ndarray:
+    """Normalize ``[T, D]`` by one speaker's ``[2, D+1]`` stats
+    (reference: ``ApplyCmvn``, transform/cmvn.cc)."""
+    d = feats.shape[-1]
+    count = stats[0, d]
+    mean = stats[0, :d] / count
+    out = feats - mean[None, :]
+    if norm_vars:
+        var = stats[1, :d] / count - mean * mean
+        scale = 1.0 / jnp.sqrt(jnp.maximum(var, 1e-20))
+        out = out * scale[None, :]
+    return out
+
+
+def apply_cmvn_batch(feats: jnp.ndarray, spk_stats: jnp.ndarray, spk_ids: jnp.ndarray,
+                     norm_vars: bool = False) -> jnp.ndarray:
+    """``[B, T, D]`` with per-speaker stats gathered by ``spk_ids``."""
+    stats = spk_stats[spk_ids]  # [B, 2, D+1]
+    d = feats.shape[-1]
+    count = stats[:, 0, d]
+    mean = stats[:, 0, :d] / count[:, None]
+    out = feats - mean[:, None, :]
+    if norm_vars:
+        var = stats[:, 1, :d] / count[:, None] - mean * mean
+        scale = 1.0 / jnp.sqrt(jnp.maximum(var, 1e-20))
+        out = out * scale[:, None, :]
+    return out
