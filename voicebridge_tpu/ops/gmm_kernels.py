@@ -1,0 +1,115 @@
+"""Batched diagonal-GMM log-likelihood and EM statistics on TPU.
+
+The acoustic hot kernel of the whole framework (reference:
+``DecodableAmDiagGmmScaled::LogLikelihoodZeroBased``,
+``gmm/decodable-am-diag-gmm.cc:28-64``): per (frame, pdf)
+
+    loglike = logsumexp_m( gconst[p,m] + miv[p,m]·x - 0.5·iv[p,m]·x² )
+
+TPU-native formulation: with x' = [x, x²] (``[N, 2D]``) and
+W = [miv; -0.5·iv] flattened to ``[P·M, 2D]``, all scores for all pdfs are ONE
+``[N, 2D] @ [2D, P·M]`` matmul (MXU) + gconst bias + masked logsumexp over the
+mixture axis — no per-frame loop, no per-pdf loop.  E-step sufficient
+statistics are segment-sums over the Viterbi-aligned pdf ids (replacing the
+reference's per-job accumulator files + GmmSumAccs with one ``segment_sum`` +
+``psum``, SURVEY.md §2.6 P2).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.gmm import AmDiagGmm
+
+
+class GmmParams(NamedTuple):
+    """Device-resident GMM parameters (a pytree; shard or replicate freely)."""
+
+    w_matrix: jnp.ndarray  # [2D, P*M]  = [miv; -0.5*iv] transposed
+    gconsts: jnp.ndarray  # [P, M], -inf padding for inactive components
+    num_pdfs: int
+    max_mix: int
+    dim: int
+
+
+def pack_gmm(am: AmDiagGmm) -> GmmParams:
+    p, m, d = am.num_pdfs, am.max_mix, am.dim
+    w = np.concatenate([am.means_invvars, -0.5 * am.inv_vars], axis=2)  # [P,M,2D]
+    w = w.reshape(p * m, 2 * d).T.astype(np.float32)  # [2D, P*M]
+    gc = np.where(np.isfinite(am.gconsts), am.gconsts, -1e30).astype(np.float32)
+    return GmmParams(jnp.asarray(w), jnp.asarray(gc), p, m, d)
+
+
+def _expand(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.concatenate([x, x * x], axis=-1)  # [N, 2D]
+
+
+def component_logliks(params: GmmParams, x: jnp.ndarray) -> jnp.ndarray:
+    """``[N, D] -> [N, P, M]`` per-component log-likelihoods."""
+    n = x.shape[0]
+    scores = jnp.dot(_expand(x), params.w_matrix,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)  # [N, P*M]
+    return scores.reshape(n, params.num_pdfs, params.max_mix) + params.gconsts[None]
+
+
+def loglikes(params: GmmParams, x: jnp.ndarray) -> jnp.ndarray:
+    """``[N, D] -> [N, P]`` total per-pdf log-likelihoods (the decoder input)."""
+    comp = component_logliks(params, x)
+    return jax.scipy.special.logsumexp(comp, axis=2)
+
+
+def loglikes_batch(params: GmmParams, feats: jnp.ndarray) -> jnp.ndarray:
+    """``[B, T, D] -> [B, T, P]``."""
+    b, t, d = feats.shape
+    return loglikes(params, feats.reshape(b * t, d)).reshape(b, t, params.num_pdfs)
+
+
+# ---------------------------------------------------------------------------
+# E-step statistics from a hard (Viterbi) alignment
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def acc_gmm_stats(params: GmmParams, x: jnp.ndarray, pdf_ids: jnp.ndarray,
+                  num_pdfs: int, frame_weights: jnp.ndarray | None = None):
+    """Accumulate GMM sufficient statistics for aligned frames.
+
+    x: ``[N, D]`` frames; pdf_ids: ``[N]`` aligned pdf per frame (padding frames
+    must carry weight 0 via ``frame_weights``).  Returns (occ ``[P, M]``,
+    mean_acc ``[P, M, D]``, var_acc ``[P, M, D]``) — the content of the
+    reference's ``AccumAmDiagGmm`` (``gmm/mle-am-diag-gmm.h:34``).
+    """
+    comp = component_logliks(params, x)  # [N, P, M]
+    sel = jnp.take_along_axis(comp, pdf_ids[:, None, None], axis=1)[:, 0, :]  # [N, M]
+    gamma = jax.nn.softmax(sel, axis=1)  # [N, M] mixture posteriors
+    if frame_weights is not None:
+        gamma = gamma * frame_weights[:, None]
+    occ = jax.ops.segment_sum(gamma, pdf_ids, num_pdfs)  # [P, M]
+    gx = gamma[:, :, None] * x[:, None, :]  # [N, M, D]
+    mean_acc = jax.ops.segment_sum(gx, pdf_ids, num_pdfs)  # [P, M, D]
+    var_acc = jax.ops.segment_sum(gx * x[:, None, :], pdf_ids, num_pdfs)
+    return occ, mean_acc, var_acc
+
+
+def acc_transition_stats(tids: jnp.ndarray, num_tids: int,
+                         frame_weights: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Transition-id occupancies from alignment (``[N]`` -> ``[num_tids+1]``)."""
+    w = frame_weights if frame_weights is not None else jnp.ones_like(tids, jnp.float32)
+    return jax.ops.segment_sum(w, tids, num_tids + 1)
+
+
+def aligned_loglike(params: GmmParams, x: jnp.ndarray, pdf_ids: jnp.ndarray,
+                    frame_weights: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Total data log-likelihood of an alignment (for EM monitoring)."""
+    comp = component_logliks(params, x)
+    sel = jnp.take_along_axis(comp, pdf_ids[:, None, None], axis=1)[:, 0, :]
+    ll = jax.scipy.special.logsumexp(sel, axis=1)
+    if frame_weights is not None:
+        ll = ll * frame_weights
+    return jnp.sum(ll)
