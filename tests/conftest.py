@@ -1,18 +1,17 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
-Multi-chip shardings are validated on `xla_force_host_platform_device_count=8`
-CPU devices (no TPU needed for unit tests); the driver separately dry-runs the
-multichip path and benches on the real chip.
+NOTE: the session's sitecustomize (axon TPU plugin) imports jax at interpreter
+startup, so JAX_PLATFORMS in os.environ is captured *before* conftest runs.
+We must use jax.config.update() instead — it works any time before backend
+initialization.  Unit tests must run on CPU: the axon TPU tunnel makes every
+jit compile take minutes, and tests shouldn't contend for the bench chip.
 """
 
 import os
 
-# Unit tests always run on the host CPU (the session env may point
-# JAX_PLATFORMS at the real TPU; benches use it, tests must not).
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+os.environ["JAX_PLATFORMS"] = "cpu"  # in case jax is not yet imported
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)

@@ -177,7 +177,12 @@ class AmDiagGmm:
 
         new_m = int(targets.max())
         if new_m > self.max_mix:
-            self._grow_mix(new_m)
+            # grow in powers of two: keeps the padded [P, M, D] shapes stable
+            # across EM iterations so device kernels don't recompile per iter
+            m = 1
+            while m < new_m:
+                m *= 2
+            self._grow_mix(m)
         d = self.dim
         for p in range(self.num_pdfs):
             n_cur, n_tgt = int(cur[p]), int(targets[p])

@@ -28,13 +28,24 @@ from ..models.gmm import AmDiagGmm
 
 
 class GmmParams(NamedTuple):
-    """Device-resident GMM parameters (a pytree; shard or replicate freely)."""
+    """Device-resident GMM parameters (a pytree; shard or replicate freely).
+    Sizes (P, M, D) are derived from array shapes so the tuple stays a pure
+    array pytree (jit-friendly)."""
 
     w_matrix: jnp.ndarray  # [2D, P*M]  = [miv; -0.5*iv] transposed
-    gconsts: jnp.ndarray  # [P, M], -inf padding for inactive components
-    num_pdfs: int
-    max_mix: int
-    dim: int
+    gconsts: jnp.ndarray  # [P, M], -1e30 padding for inactive components
+
+    @property
+    def num_pdfs(self) -> int:
+        return self.gconsts.shape[0]
+
+    @property
+    def max_mix(self) -> int:
+        return self.gconsts.shape[1]
+
+    @property
+    def dim(self) -> int:
+        return self.w_matrix.shape[0] // 2
 
 
 def pack_gmm(am: AmDiagGmm) -> GmmParams:
@@ -42,7 +53,7 @@ def pack_gmm(am: AmDiagGmm) -> GmmParams:
     w = np.concatenate([am.means_invvars, -0.5 * am.inv_vars], axis=2)  # [P,M,2D]
     w = w.reshape(p * m, 2 * d).T.astype(np.float32)  # [2D, P*M]
     gc = np.where(np.isfinite(am.gconsts), am.gconsts, -1e30).astype(np.float32)
-    return GmmParams(jnp.asarray(w), jnp.asarray(gc), p, m, d)
+    return GmmParams(jnp.asarray(w), jnp.asarray(gc))
 
 
 def _expand(x: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,98 @@
+"""Device-mesh parallelism: data-parallel EM over pjit/shard_map.
+
+Replaces the reference's entire parallel runtime — ``SplitData`` +
+``std::thread`` per shard + per-job accumulator files + ``GmmSumAccs``
+(SURVEY.md §2.6) — with a mesh:
+
+* utterances are sharded over the ``data`` axis ([B, ...] leading dim);
+* GMM parameters and decode graphs are replicated (a ``model`` axis exists for
+  sharding very large mixture inventories later);
+* E-step sufficient statistics are ``psum``-reduced over ``data`` — the
+  file-barrier reduction becomes one ICI/DCN collective.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import gmm_kernels as K
+from ..ops import viterbi as V
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(num_data: int | None = None, num_model: int = 1,
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if num_data is None:
+        num_data = len(devices) // num_model
+    dev = np.asarray(devices[: num_data * num_model]).reshape(num_data, num_model)
+    return Mesh(dev, (DATA_AXIS, MODEL_AXIS))
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Place leading-axis-sharded arrays on the mesh (data-parallel)."""
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def replicate(mesh: Mesh, tree):
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def em_estep_sharded(mesh: Mesh, num_states: int, num_pdfs: int, num_tids: int):
+    """Build the jitted, mesh-sharded EM E-step:
+
+    (gmm params, per-utterance padded graphs, feats, frame counts, acwt)
+      -> (alpha_end, backpointers, stats psum-reduced over the data axis)
+
+    The Viterbi forward runs sharded (each chip advances its own utterances);
+    statistics are computed from the *previous* iteration's alignments
+    (tids/weights) and reduced with psum — matching the reference's EM loop
+    structure where realignment and stats use the current model (§3.1).
+    """
+    from jax import shard_map  # keyword-only API (jax >= 0.8)
+
+    data_spec = P(DATA_AXIS)
+    rep = P()
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(rep,  # params
+                  data_spec, data_spec, data_spec, data_spec, data_spec,  # graphs
+                  data_spec, data_spec,  # feats, num_frames
+                  data_spec, data_spec, data_spec,  # tids, pdf_ids, weights
+                  rep),  # acoustic scale
+        out_specs=(data_spec, data_spec, rep, rep, rep, rep, rep),
+        check_vma=False,
+    )
+    def step(params, arc_src, arc_dst, arc_pdf, arc_score, alpha0,
+             feats, num_frames, tids, pdf_ids_in, weights, acwt):
+        b, t, d = feats.shape
+        ll = K.loglikes_batch(params, feats)
+        alpha_end, bps = V.viterbi_forward_batched(
+            arc_src, arc_dst, arc_pdf, arc_score, alpha0,
+            ll, num_frames, acwt, jnp.float32(1e9), num_states)
+        # stats from given alignments (previous realign), psum over mesh
+        x = feats.reshape(b * t, d)
+        pdf_ids = pdf_ids_in.reshape(-1)
+        w = weights.reshape(-1)
+        occ, macc, vacc = K.acc_gmm_stats(params, x, pdf_ids, num_pdfs, w)
+        tstats = K.acc_transition_stats(tids.reshape(-1), num_tids, w)
+        ll_tot = K.aligned_loglike(params, x, pdf_ids, w)
+        occ = jax.lax.psum(occ, DATA_AXIS)
+        macc = jax.lax.psum(macc, DATA_AXIS)
+        vacc = jax.lax.psum(vacc, DATA_AXIS)
+        tstats = jax.lax.psum(tstats, DATA_AXIS)
+        ll_tot = jax.lax.psum(ll_tot, DATA_AXIS)
+        return alpha_end, bps, occ, macc, vacc, tstats, ll_tot
+
+    return jax.jit(step)

