@@ -57,34 +57,34 @@ def main():
         num_pdfs=num_pdfs)
     num_states = len(alpha0)
 
-    b, t = 16, 1000  # 16 x 10s utterances per batch
+    b, t = 128, 1000  # 128 x 10s utterances per batch (throughput decoding)
     feats = jnp.asarray(rng.standard_normal((b, t, dim)), jnp.float32)
-    num_frames = jnp.full((b,), t, jnp.int32)
+    num_frames = np.full((b,), t, np.int32)
 
-    arc_src_d = jnp.asarray(arc_src)
-    arc_dst_d = jnp.asarray(arc_dst)
-    arc_pdf_d = jnp.asarray(arc_pdf)
-    arc_score_d = jnp.asarray(arc_score)
-    alpha0_d = jnp.asarray(alpha0)
+    levels = tuple(jnp.asarray(l) for l in
+                   V.build_reduction_plan(arc_dst, num_states).levels)
+    graph = V.DenseGraph(
+        num_states=num_states, arc_src=arc_src, arc_dst=arc_dst,
+        arc_tid=arc_pdf, arc_pdf=arc_pdf, arc_score=arc_score,
+        arc_oseq=np.zeros_like(arc_src),
+        alpha0=alpha0, start_oseq=np.zeros(num_states, np.int32),
+        final_score=np.zeros(num_states, np.float32),
+        final_oseq=np.zeros(num_states, np.int32), oseqs=[()])
 
-    @jax.jit
-    def decode_step(feats, num_frames):
+    def decode_full(feats, num_frames):
         ll = K.loglikes_batch(params, feats)
-        alpha_end, _ = V.viterbi_forward_shared(
-            arc_src_d, arc_dst_d, arc_pdf_d, arc_score_d, alpha0_d,
-            ll, num_frames, jnp.float32(1.0 / 13), jnp.float32(200.0),
-            num_states)
-        return alpha_end
+        return V.viterbi_decode_windowed(
+            graph, levels, ll, num_frames,
+            acoustic_scale=1.0 / 13.0, beam=200.0, window=100)
 
     # warmup / compile
-    out = decode_step(feats, num_frames)
-    jax.block_until_ready(out)
+    out = decode_full(feats, num_frames)
+    assert all(len(r["arcs"]) == t for r in out), "bench decode found no path"
 
-    iters = 5
+    iters = 3
     start = time.perf_counter()
     for _ in range(iters):
-        out = decode_step(feats, num_frames)
-    jax.block_until_ready(out)
+        out = decode_full(feats, num_frames)
     wall = (time.perf_counter() - start) / iters
 
     audio_seconds = b * t * 0.01

@@ -67,19 +67,19 @@ def em_estep_sharded(mesh: Mesh, num_states: int, num_pdfs: int, num_tids: int):
         shard_map,
         mesh=mesh,
         in_specs=(rep,  # params
-                  data_spec, data_spec, data_spec, data_spec, data_spec,  # graphs
+                  data_spec, data_spec, data_spec, data_spec, data_spec,  # graphs (incl. levels tuple)
                   data_spec, data_spec,  # feats, num_frames
                   data_spec, data_spec, data_spec,  # tids, pdf_ids, weights
                   rep),  # acoustic scale
         out_specs=(data_spec, data_spec, rep, rep, rep, rep, rep),
         check_vma=False,
     )
-    def step(params, arc_src, arc_dst, arc_pdf, arc_score, alpha0,
+    def step(params, arc_src, levels, arc_pdf, arc_score, alpha0,
              feats, num_frames, tids, pdf_ids_in, weights, acwt):
         b, t, d = feats.shape
         ll = K.loglikes_batch(params, feats)
         alpha_end, bps = V.viterbi_forward_batched(
-            arc_src, arc_dst, arc_pdf, arc_score, alpha0,
+            arc_src, levels, arc_pdf, arc_score, alpha0,
             ll, num_frames, acwt, jnp.float32(1e9), num_states)
         # stats from given alignments (previous realign), psum over mesh
         x = feats.reshape(b * t, d)

@@ -36,7 +36,7 @@ class AlignmentSet:
         """loglikes [B, T, P]; returns list of alignment dicts (tids etc.)."""
         p = self.padded
         alpha_end, bps = V.viterbi_forward_batched(
-            p["arc_src"], p["arc_dst"], p["arc_pdf"], p["arc_score"],
+            p["arc_src"], p["levels"], p["arc_pdf"], p["arc_score"],
             p["alpha0"], loglikes, num_frames,
             np.float32(acoustic_scale), np.float32(beam), p["num_states"])
         return V.backtrace_batched(p, self.graphs, np.asarray(alpha_end),

@@ -41,11 +41,13 @@ class Decoder:
     def __init__(self, hclg: Fst, trans_model: TransitionModel, am: AmDiagGmm,
                  opts: DecodeOptions = DecodeOptions()):
         self.graph = V.compile_dense_graph(hclg, trans_model.tid2pdf)
+        self.levels = V.build_reduction_plan(self.graph.arc_dst,
+                                             self.graph.num_states).levels
         self.trans_model = trans_model
         self.opts = opts
         self.params = K.pack_gmm(am)
-        log.info("decoder: graph states=%d arcs(eps-free)=%d",
-                 self.graph.num_states, self.graph.num_arcs)
+        log.info("decoder: graph states=%d arcs(eps-free)=%d reduce-depth=%d",
+                 self.graph.num_states, self.graph.num_arcs, len(self.levels))
 
     def decode_batch(self, utts: list[str], feats: np.ndarray,
                      num_frames: np.ndarray,
@@ -55,13 +57,11 @@ class Decoder:
         acwt = self.opts.acoustic_scale if acoustic_scale is None else acoustic_scale
         g = self.graph
         ll = K.loglikes_batch(self.params, jnp.asarray(feats))
-        alpha_end, bps = V.viterbi_forward_shared(
-            jnp.asarray(g.arc_src), jnp.asarray(g.arc_dst),
-            jnp.asarray(g.arc_pdf), jnp.asarray(g.arc_score),
-            jnp.asarray(g.alpha0), ll, jnp.asarray(num_frames),
-            np.float32(acwt), np.float32(self.opts.beam), g.num_states)
-        paths = V.backtrace_shared(g, np.asarray(alpha_end), np.asarray(bps),
-                                   np.asarray(num_frames))
+        # memory-bounded two-phase decode: snapshots instead of [T,B,S] bps
+        paths = V.viterbi_decode_windowed(
+            g, self.levels, ll, np.asarray(num_frames),
+            acoustic_scale=acwt, beam=self.opts.beam,
+            window=min(64, max(8, int(np.max(num_frames)))))
         out = []
         for u, r in zip(utts, paths):
             out.append(DecodeResult(u, r["words"], r["score"],
