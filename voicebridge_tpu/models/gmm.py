@@ -142,9 +142,21 @@ class AmDiagGmm:
         self.means_invvars = np.where(upd, mean * inv_var, self.means_invvars).astype(np.float32)
         self.inv_vars = np.where(upd, inv_var, self.inv_vars).astype(np.float32)
         self.weights = np.where(keep, new_w, 0.0).astype(np.float32)
+        self._compact_components()
         self.compute_gconsts()
         removed = int((active & ~keep).sum())
         return {"removed": removed, "tot_occ": float(occ.sum())}
+
+    def _compact_components(self) -> None:
+        """Move active components to the front of each pdf's mixture axis
+        (split_to_target and the padded kernels assume contiguous actives)."""
+        active = self.weights > 0
+        order = np.argsort(~active, kind="stable", axis=1)  # actives first
+        self.weights = np.take_along_axis(self.weights, order, axis=1)
+        self.means_invvars = np.take_along_axis(
+            self.means_invvars, order[:, :, None], axis=1)
+        self.inv_vars = np.take_along_axis(
+            self.inv_vars, order[:, :, None], axis=1)
 
     # -- mixture splitting (gmm-mixup / DiagGmm::Split) ----------------------
     def split_to_target(self, target_total: int, occs: np.ndarray,

@@ -28,20 +28,21 @@ class TransitionModel:
         (models/tree.py MonophoneTree)."""
         self.topo = topo
         self.tree = tree
-        # tuples: 1-based transition-state -> (phone, hmm_state, pdf)
+        # tuples: 1-based transition-state -> (phone, hmm_state, pdf);
+        # enumerates all (phone, state, pdf) the tree can produce
+        # (TransitionModel ctor via ContextDependency::GetPdfInfo)
         self.tuples: list[tuple[int, int, int]] = []
-        seen = {}
+        seen = set()
         for phone in topo.phones():
             states = topo.states_for(phone)
             for hmm_state, st in enumerate(states):
                 if st.pdf_class < 0:
                     continue
-                pdf = tree.map_mono(phone, st.pdf_class) if hasattr(tree, "map_mono") \
-                    else tree.map((phone,), st.pdf_class)
-                key = (phone, hmm_state, pdf)
-                if key not in seen:
-                    seen[key] = True
-                    self.tuples.append(key)
+                for pdf in tree.possible_pdfs(phone, st.pdf_class):
+                    key = (phone, hmm_state, pdf)
+                    if key not in seen:
+                        seen.add(key)
+                        self.tuples.append(key)
         self.tuples.sort()
         # transition-state (1-based) indexing
         self._tuple2tstate = {t: i + 1 for i, t in enumerate(self.tuples)}
@@ -109,6 +110,46 @@ class TransitionModel:
     def self_loop_logprob(self, tstate: int) -> float:
         tid = self.self_loop_tid_of(tstate)
         return float(self.log_probs[tid]) if tid else -np.inf
+
+    # -- alignment utilities -------------------------------------------------
+    def split_to_phones(self, tids) -> tuple[list[int], "np.ndarray"]:
+        """Segment an alignment into phone instances (hmm/hmm-utils
+        SplitToPhones): a new phone starts at a non-self-loop transition out
+        of topology state 0.  Returns (phone per segment, segment id per
+        frame)."""
+        seg_phones: list[int] = []
+        seg_of_frame = np.zeros(len(tids), np.int32)
+        for i, t in enumerate(tids):
+            if (self.tid2hmm_state[t] == 0 and not self.tid_is_self_loop[t]) \
+                    or not seg_phones:
+                seg_phones.append(int(self.tid2phone[t]))
+            seg_of_frame[i] = len(seg_phones) - 1
+        return seg_phones, seg_of_frame
+
+    def convert_alignment(self, tids, new_model: "TransitionModel",
+                          context_width: int = 3, central_position: int = 1):
+        """Map an alignment to a new transition model / tree (convert-ali):
+        keeps phone durations and hmm-state paths, re-derives pdfs through the
+        new tree with phonetic context."""
+        seg_phones, seg_of_frame = self.split_to_phones(tids)
+        n_segs = len(seg_phones)
+        tree = new_model.tree
+        out = []
+        for i, t in enumerate(tids):
+            seg = int(seg_of_frame[i])
+            window = []
+            for k in range(context_width):
+                rel = seg + (k - central_position)
+                window.append(seg_phones[rel] if 0 <= rel < n_segs else 0)
+            phone, hmm_state, _pdf, trans_index = self.tid_info(int(t))
+            pdf_class = self.topo.states_for(phone)[hmm_state].pdf_class
+            if tree.context_width == 1:
+                new_pdf = tree.map_mono(phone, pdf_class)
+            else:
+                new_pdf = tree.map(tuple(window), pdf_class)
+            ts = new_model.tuple_to_tstate(phone, hmm_state, new_pdf)
+            out.append(new_model.pair_to_tid(ts, trans_index))
+        return out
 
     # -- MLE update (gmm-est --write-occs / TransitionModel::MleUpdate) ------
     def mle_update(self, tid_counts: np.ndarray, floor: float = 0.01,

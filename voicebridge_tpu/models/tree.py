@@ -44,6 +44,11 @@ class MonophoneTree:
     def map(self, phone_window: tuple, pdf_class: int) -> int:
         return self._map[(phone_window[self.central_position], pdf_class)]
 
+    def possible_pdfs(self, phone: int, pdf_class: int) -> list:
+        """All pdfs this (phone, pdf-class) can map to (GetPdfInfo role)."""
+        p = self._map.get((phone, pdf_class))
+        return [p] if p is not None else []
+
     def save(self, path: str | Path) -> None:
         Path(path).write_text(json.dumps({
             "type": "mono",
@@ -93,6 +98,29 @@ class ContextTree:
         window = tuple(0 if i != self.central_position else phone
                        for i in range(self.context_width))
         return self.map(window, pdf_class)
+
+    def possible_pdfs(self, phone: int, pdf_class: int) -> list:
+        """All leaves reachable with the central phone and pdf-class fixed,
+        context positions free (Kaldi ContextDependency::GetPdfInfo)."""
+        out: set[int] = set()
+        stack = [0]
+        while stack:
+            i = stack.pop()
+            node = self.nodes[i]
+            if "pdf" in node:
+                out.add(node["pdf"])
+                continue
+            key = node["key"]
+            if key == -1:
+                stack.append(node["yes"] if pdf_class in node["values"]
+                             else node["no"])
+            elif key == self.central_position:
+                stack.append(node["yes"] if phone in node["values"]
+                             else node["no"])
+            else:
+                stack.append(node["yes"])
+                stack.append(node["no"])
+        return sorted(out)
 
     def save(self, path: str | Path) -> None:
         nodes = []

@@ -98,20 +98,7 @@ def acc_tree_stats(alignments: dict, feats_by_utt: dict, trans_model,
             [trans_model.topo.states_for(int(ph)).__getitem__(
                 int(trans_model.tid2hmm_state[t])).pdf_class
              for t, ph in zip(tids, phones)], np.int32)
-        # phone boundary structure: split into segments of equal phone where
-        # a new segment starts when the hmm state sequence restarts
-        seg_phone: list[int] = []  # phone per segment
-        seg_of_frame = np.zeros(len(tids), np.int32)
-        prev_phone, prev_state = -1, 10 ** 9
-        for i, (t, ph) in enumerate(zip(tids, phones)):
-            st = int(trans_model.tid2hmm_state[t])
-            if ph != prev_phone or st < prev_state or (
-                    st == prev_state and not trans_model.tid_is_self_loop[t]
-                    and st == 0 and prev_state == 0 and i > 0
-                    and not trans_model.tid_is_self_loop[tids[i - 1]]):
-                seg_phone.append(int(ph))
-            seg_of_frame[i] = len(seg_phone) - 1
-            prev_phone, prev_state = ph, st
+        seg_phone, seg_of_frame = trans_model.split_to_phones(tids)
         num_segs = len(seg_phone)
         for i in range(len(tids)):
             seg = seg_of_frame[i]

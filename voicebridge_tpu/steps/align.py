@@ -115,3 +115,40 @@ def equal_align(graph: V.DenseGraph, num_frames: int, seed: int = 0):
 
 def alignment_to_tids(graph: V.DenseGraph, arc_frames: list[int]) -> list[int]:
     return [int(graph.arc_tid[a]) for a in arc_frames]
+
+
+def align_utterances(am, trans_model, lang, feats_by_utt: dict,
+                     transcripts: dict, acoustic_scale: float = 1.0,
+                     boost_silence: float = 1.0, transition_scale: float = 1.0,
+                     self_loop_scale: float = 0.1,
+                     silence_pdfs: list | None = None) -> dict:
+    """AlignSi (scr/steps/align_si.cpp): align every utterance to its
+    transcript with an existing model; returns utt -> list[tid]."""
+    import jax.numpy as jnp
+
+    from ..fst.hclg import TrainingGraphCompiler
+    from ..ops import gmm_kernels as K
+
+    utts = sorted(feats_by_utt)
+    compiler = TrainingGraphCompiler(lang, trans_model.tree, trans_model,
+                                     transition_scale, self_loop_scale)
+    fsts = compiler.compile_batch([transcripts[u] for u in utts])
+    aset = AlignmentSet.from_fsts(fsts, trans_model)
+    b = len(utts)
+    t_max = max(feats_by_utt[u].shape[0] for u in utts)
+    d = feats_by_utt[utts[0]].shape[1]
+    feats = np.zeros((b, t_max, d), np.float32)
+    nf = np.zeros(b, np.int32)
+    for i, u in enumerate(utts):
+        f = feats_by_utt[u]
+        feats[i, : f.shape[0]] = f
+        nf[i] = f.shape[0]
+    align_am = am
+    if boost_silence != 1.0 and silence_pdfs:
+        align_am = am.boost_silence(silence_pdfs, boost_silence)
+    ll = K.loglikes_batch(K.pack_gmm(align_am), jnp.asarray(feats))
+    results = aset.align(ll, jnp.asarray(nf), acoustic_scale=acoustic_scale)
+    out = {}
+    for u, r in zip(utts, results):
+        out[u] = r["tids"]
+    return out
