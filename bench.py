@@ -57,7 +57,7 @@ def main():
         num_pdfs=num_pdfs)
     num_states = len(alpha0)
 
-    b, t = 128, 1000  # 128 x 10s utterances per batch (throughput decoding)
+    b, t = 64, 1000  # 64 x 10s utterances per batch (throughput decoding)
     feats = jnp.asarray(rng.standard_normal((b, t, dim)), jnp.float32)
     num_frames = np.full((b,), t, np.int32)
 
@@ -75,7 +75,7 @@ def main():
         ll = K.loglikes_batch(params, feats)
         return V.viterbi_decode_windowed(
             graph, levels, ll, num_frames,
-            acoustic_scale=1.0 / 13.0, beam=200.0, window=100)
+            acoustic_scale=1.0 / 13.0, beam=200.0, window=50)
 
     # warmup / compile
     out = decode_full(feats, num_frames)

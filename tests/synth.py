@@ -64,6 +64,48 @@ def make_corpus(num_train=24, num_test=8, max_words=4, seed=0):
     return gen(num_train, "train"), gen(num_test, "test")
 
 
+def make_speaker_corpus(num_speakers=4, utts_per_speaker=6, num_test_per=2,
+                        max_words=4, seed=0):
+    """Speaker-varied corpus for SAT/fMLLR tests: each speaker warps the word
+    frequencies (vocal-tract-length-like) and has its own gain.
+
+    Returns (train, test, utt2spk): dicts utt -> (wave, words)."""
+    rng = np.random.default_rng(seed)
+    utt2spk = {}
+    train, test = {}, {}
+    for s in range(num_speakers):
+        warp = rng.uniform(0.8, 1.25)
+        gain = rng.uniform(0.6, 1.4)
+
+        def utt(words):
+            parts = [_silence(rng.uniform(0.15, 0.3), rng)]
+            for w in words:
+                dur = rng.uniform(0.25, 0.4)
+                if w == "YES":
+                    parts.append(_tone([700.0 * warp, 1100.0 * warp], dur, rng,
+                                       amp=6000.0 * gain))
+                else:
+                    parts.append(_tone([300.0 * warp], dur, rng,
+                                       amp=6000.0 * gain))
+                parts.append(_silence(rng.uniform(0.12, 0.25), rng))
+            wave = np.concatenate(parts)
+            return (wave + 60.0 * rng.standard_normal(len(wave))).astype(np.float32)
+
+        for i in range(utts_per_speaker):
+            k = int(rng.integers(1, max_words + 1))
+            words = [("YES" if rng.random() < 0.5 else "NO") for _ in range(k)]
+            key = f"spk{s}_train_{i:02d}"
+            train[key] = (utt(words), words)
+            utt2spk[key] = f"spk{s}"
+        for i in range(num_test_per):
+            k = int(rng.integers(1, max_words + 1))
+            words = [("YES" if rng.random() < 0.5 else "NO") for _ in range(k)]
+            key = f"spk{s}_test_{i:02d}"
+            test[key] = (utt(words), words)
+            utt2spk[key] = f"spk{s}"
+    return train, test, utt2spk
+
+
 LEXICON = {
     "YES": [(1.0, ("Y", "EH", "S"))],
     "NO": [(1.0, ("N", "OW"))],

@@ -241,6 +241,7 @@ class DecodeOptions:
 @dataclass(frozen=True)
 class FmllrDecodeOptions:
     fmllr_update_type: str = "full"
+    fmllr_min_count: float = 500.0  # gmm-est-fmllr --fmllr-min-count
     silence_weight: float = 0.01
     max_active: int = 7000
     beam: float = 13.0

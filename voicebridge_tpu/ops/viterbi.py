@@ -392,6 +392,30 @@ def _window_forward_with_bp(arc_src, levels, arc_pdf, arc_score, alpha_start,
     return bps
 
 
+@functools.partial(jax.jit, static_argnames=())
+def _window_backtrace(bps, arc_src, state, nf, t_hi0):
+    """Device backtrace through one window's backpointers.
+
+    bps [W, B, S]; state [B] (state at each utterance's current frontier);
+    nf [B]; t_hi0 = frame index of bps[W-1] + 1 (= lo + W).
+    Returns (arcs [W, B] in forward order, -1 where inactive; state [B] at
+    window start)."""
+    b = state.shape[0]
+    bidx = jnp.arange(b)
+
+    def step(carry, bp_t):
+        s, t = carry
+        active = t < nf  # frames >= nf are padding
+        a = bp_t[bidx, s]
+        a = jnp.where(active, a, -1)
+        new_s = jnp.where(a >= 0, arc_src[jnp.maximum(a, 0)], s)
+        return (new_s, t - 1), a
+
+    (state_out, _), arcs_rev = jax.lax.scan(
+        step, (state, t_hi0 - 1), bps[::-1])
+    return arcs_rev[::-1], state_out
+
+
 def viterbi_decode_windowed(graph: DenseGraph, levels, loglikes, num_frames,
                             acoustic_scale: float, beam: float,
                             window: int = 64):
@@ -472,40 +496,39 @@ def viterbi_decode_windowed(graph: DenseGraph, levels, loglikes, num_frames,
             scores[i] = float(alpha_end[i][end_state[i]])
             has_path[i] = True
 
-    # phase 2: reverse windows
-    arcs_rev: list[list[int]] = [[] for _ in range(b)]
-    cur_state = end_state.copy()
-    frames_left = nf_np.astype(np.int64).copy()
+    # phase 2: reverse windows — forward-with-bp + backtrace run ON DEVICE
+    # (the [W, B, S] backpointer tensor never leaves the chip; only [W, B]
+    # arc ids per window come back)
+    arc_window_chunks: list[np.ndarray] = []  # [W, B] per window, reverse order
+    cur_state = jnp.asarray(end_state.astype(np.int32))
+    arc_src_j = arc_src
     for w in range(nw - 1, -1, -1):
         lo = w * window
-        in_this = (frames_left > lo)
-        if not in_this.any():
-            continue
+        # utterances whose last frame falls inside this window start their
+        # backtrace here at their chosen end state
+        enters = (nf_np > lo) & (nf_np <= lo + window) & has_path
+        if enters.any():
+            cur_state = jnp.where(jnp.asarray(enters),
+                                  jnp.asarray(end_state.astype(np.int32)),
+                                  cur_state)
         ll_win = jax.lax.dynamic_slice_in_dim(loglikes, lo, window, axis=1)
         bps = _window_forward_with_bp(
             arc_src, levels, arc_pdf, arc_score,
             jnp.asarray(snaps[w]), ll_win, nf, jnp.int32(lo), acwt, beam_,
             s, window)
-        bps = np.asarray(bps)  # [W, B, S]
-        for i in range(b):
-            if not has_path[i]:
-                continue
-            t_hi = int(min(frames_left[i], lo + window))
-            for t in range(t_hi - 1, lo - 1, -1):
-                a = int(bps[t - lo, i, cur_state[i]])
-                if a < 0:
-                    has_path[i] = False
-                    break
-                arcs_rev[i].append(a)
-                cur_state[i] = int(graph.arc_src[a])
-            frames_left[i] = min(int(frames_left[i]), lo)
+        arcs_w, cur_state = _window_backtrace(bps, arc_src_j, cur_state, nf,
+                                              jnp.int32(lo + window))
+        arc_window_chunks.append(np.asarray(arcs_w))
+    # stitch windows (they were collected high-to-low)
+    all_arcs = np.concatenate(arc_window_chunks[::-1], axis=0)  # [T_pad, B]
 
     out = []
     for i in range(b):
-        if not has_path[i] or (nf_np[i] > 0 and len(arcs_rev[i]) != nf_np[i]):
+        n = int(nf_np[i])
+        arcs = [int(a) for a in all_arcs[:n, i]]
+        if not has_path[i] or any(a < 0 for a in arcs):
             out.append({"tids": [], "words": [], "score": -np.inf, "arcs": []})
             continue
-        arcs = arcs_rev[i][::-1]
         start_s = int(graph.arc_src[arcs[0]]) if arcs else int(end_state[i])
         words: list[int] = list(graph.oseqs[graph.start_oseq[start_s]])
         for a in arcs:

@@ -1,0 +1,127 @@
+"""fMLLR (CMLLR) speaker-adaptation transforms.
+
+Counterparts: ``gmm-est-fmllr{,-gpost}`` / ``gmm-post-to-gpost`` and the
+row-by-row solve in ``transform/fmllr-diag-gmm.{h,cc}:43-61``; pipeline use in
+train_sat.cpp and decode_fmllr.cpp (SURVEY.md §2.1/§3.2).
+
+Per-speaker sufficient statistics (device, one pass over all speakers via
+segment-sums over a speaker-id vector):
+
+    beta_s          = sum gamma
+    K_s[d, e]       = sum gamma * mu_d / var_d * xhat_e        (xhat = [x; 1])
+    G_s[d, e, f]    = sum gamma / var_d * xhat_e * xhat_f
+
+Estimation (host, per speaker): iterative row update of the affine transform
+W [D, D+1] maximizing  beta log|det A| - 0.5 sum_d (w_d G_d w_d^T - 2 w_d K_d)
+(FmllrInnerUpdate).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.gmm_kernels import GmmParams, component_logliks
+
+
+def acc_fmllr_stats(params: GmmParams, means: jnp.ndarray, inv_vars: jnp.ndarray,
+                    feats: jnp.ndarray, pdf_ids: jnp.ndarray,
+                    weights: jnp.ndarray, spk_ids: jnp.ndarray,
+                    num_speakers: int):
+    """feats [N, D]; spk_ids [N] -> (beta [S], K [S, D, D+1], G [S, D, D+1, D+1])."""
+    n, d = feats.shape
+    comp = component_logliks(params, feats)
+    sel = jnp.take_along_axis(comp, pdf_ids[:, None, None], axis=1)[:, 0, :]
+    gamma = jax.nn.softmax(sel, axis=1) * weights[:, None]  # [N, M]
+    mu = means[pdf_ids]  # [N, M, D]
+    iv = inv_vars[pdf_ids]
+    xhat = jnp.concatenate([feats, jnp.ones((n, 1), feats.dtype)], axis=1)  # [N, D+1]
+    # per-frame collapsed stats over mixtures:
+    w_miv = jnp.einsum("nm,nmd->nd", gamma, mu * iv)  # sum gamma mu/var  [N, D]
+    w_iv = jnp.einsum("nm,nmd->nd", gamma, iv)  # sum gamma / var        [N, D]
+    beta = jax.ops.segment_sum(jnp.sum(gamma, axis=1), spk_ids, num_speakers)
+    # K_s[d, e] = sum_n w_miv[n, d] xhat[n, e]
+    k = jax.ops.segment_sum(w_miv[:, :, None] * xhat[:, None, :], spk_ids,
+                            num_speakers)
+    # G_s[d, e, f] = sum_n w_iv[n, d] xhat[n, e] xhat[n, f]
+    outer = xhat[:, :, None] * xhat[:, None, :]  # [N, D+1, D+1]
+    g = jax.ops.segment_sum(w_iv[:, :, None, None] * outer[:, None, :, :],
+                            spk_ids, num_speakers)
+    return beta, k, g
+
+
+def estimate_fmllr(beta: float, k: np.ndarray, g: np.ndarray,
+                   num_iters: int = 20, min_count: float = 500.0):
+    """Solve one speaker's transform.  Returns (W [D, D+1], objf impr/frame)
+    or (identity, 0.0) when below min_count (reference --fmllr-min-count)."""
+    d = k.shape[0]
+    ident = np.concatenate([np.eye(d), np.zeros((d, 1))], axis=1).astype(np.float32)
+    if beta < min_count:
+        return ident, 0.0
+    k = k.astype(np.float64)
+    g = g.astype(np.float64)
+    w = ident.astype(np.float64).copy()
+    ginv = np.stack([
+        np.linalg.inv(g[i] + 1e-5 * np.eye(d + 1) * max(np.trace(g[i]) / (d + 1), 1e-10))
+        for i in range(d)])
+
+    def objf(ww):
+        a = ww[:, :d]
+        sign, logdet = np.linalg.slogdet(a)
+        if sign <= 0:
+            return -np.inf
+        val = beta * logdet
+        for i in range(d):
+            val += ww[i] @ k[i] - 0.5 * ww[i] @ g[i] @ ww[i]
+        return val
+
+    start = objf(w)
+    prev = start
+    for _ in range(num_iters):
+        for i in range(d):
+            a = w[:, :d]
+            inv_t = np.linalg.inv(a).T
+            cof = np.linalg.det(a) * inv_t[i]  # cofactor row of A
+            chat = np.concatenate([cof, [0.0]])
+            # maximize beta log|a_i . cof| + w_i k_i - 0.5 w_i G_i w_i^T
+            gk = ginv[i] @ (k[i])
+            gc = ginv[i] @ chat
+            # solve quadratic for step along gc (Kaldi FmllrInnerUpdate)
+            c1 = chat @ gc
+            if c1 <= 0:
+                continue
+            c2 = chat @ gk
+            # f(s) = beta log|s c1 + c2| - 0.5 s^2 c1 - s c2 + const
+            # optimum: s = (-c2 +/- sqrt(c2^2 + 4 beta c1)) / (2 c1); pick +
+            disc = c2 * c2 + 4.0 * beta * c1
+            s = (-c2 + np.sqrt(max(disc, 0.0))) / (2.0 * c1)
+            w[i] = gk + s * gc
+        cur = objf(w)
+        if cur - prev < 1e-6 * max(abs(prev), 1.0):
+            prev = cur
+            break
+        prev = cur
+    return w.astype(np.float32), float((prev - start) / max(beta, 1.0))
+
+
+def estimate_fmllr_batch(beta: np.ndarray, k: np.ndarray, g: np.ndarray,
+                         min_count: float = 500.0):
+    """All speakers: returns (transforms [S, D, D+1], impr list)."""
+    out = []
+    imprs = []
+    for s in range(len(beta)):
+        w, impr = estimate_fmllr(float(beta[s]), k[s], g[s], min_count=min_count)
+        out.append(w)
+        imprs.append(impr)
+    return np.stack(out), imprs
+
+
+def apply_fmllr_batch(feats: jnp.ndarray, transforms: np.ndarray,
+                      spk_ids: np.ndarray) -> jnp.ndarray:
+    """feats [B, T, D] with per-speaker affine transforms gathered by spk."""
+    w = jnp.asarray(transforms)[jnp.asarray(spk_ids)]  # [B, D, D+1]
+    a = w[:, :, :-1]
+    b = w[:, :, -1]
+    return jnp.einsum("bde,bte->btd", a, feats,
+                      precision=jax.lax.Precision.HIGHEST) + b[:, None, :]

@@ -1,0 +1,112 @@
+"""MLLT / global STC estimation.
+
+Counterparts: ``gmm-acc-mllt`` / ``est-mllt`` / ``gmm-transform-means`` /
+``compose-transforms`` (``transform/mllt.{h,cc}``; pipeline
+train_lda_mllt.cpp:694-...).
+
+Accumulators (device): for every frame aligned to pdf p with mixture
+posteriors gamma_m:
+
+    G[d] += sum_m gamma_m * inv_var[p,m,d] * (x - mu[p,m]) (x - mu[p,m])^T
+    beta += sum gamma
+
+Update (host): Kaldi's iterative row solve — for each row d of M:
+    c_d = cofactor row of M (row of det(M) * M^{-T})
+    m_d = sqrt(beta / (c_d^T G_d^{-1} c_d)) * G_d^{-1} c_d
+maximizing  beta*log|det M| - 0.5 sum_d m_d^T G_d m_d.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.gmm_kernels import GmmParams, component_logliks
+
+
+def acc_mllt_stats(params: GmmParams, means: jnp.ndarray, inv_vars: jnp.ndarray,
+                   feats: jnp.ndarray, pdf_ids: jnp.ndarray,
+                   weights: jnp.ndarray):
+    """feats [N, D]; means/inv_vars [P, M, D] -> (G [D, D, D], beta).
+
+    G[d] is accumulated with one einsum over the posterior-weighted centered
+    outer products — the reference's per-frame loop
+    (MlltAccs::AccumulateFromPosteriors) becomes three fused contractions.
+    """
+    comp = component_logliks(params, feats)  # [N, P, M]
+    sel = jnp.take_along_axis(comp, pdf_ids[:, None, None], axis=1)[:, 0, :]
+    gamma = jax.nn.softmax(sel, axis=1) * weights[:, None]  # [N, M]
+    mu = means[pdf_ids]  # [N, M, D]
+    iv = inv_vars[pdf_ids]  # [N, M, D]
+    diff = feats[:, None, :] - mu  # [N, M, D]
+    w = gamma[:, :, None] * iv  # [N, M, D] (gamma * 1/var_d) per output dim d
+    # G[d, i, j] = sum_n sum_m w[n, m, d] * diff[n, m, i] * diff[n, m, j]
+    g = jnp.einsum("nmd,nmi,nmj->dij", w, diff, diff,
+                   precision=jax.lax.Precision.HIGHEST)
+    beta = jnp.sum(gamma)
+    return g, beta
+
+
+def est_mllt(g: np.ndarray, beta: float, num_iters: int = 200,
+             tol: float = 1e-7) -> tuple[np.ndarray, float]:
+    """-> (M [D, D], objf improvement per frame).  est-mllt's row iteration."""
+    g = g.astype(np.float64)
+    d = g.shape[0]
+    m = np.eye(d)
+    ginv = np.stack([np.linalg.inv(g[i] + 1e-6 * np.eye(d) * max(np.trace(g[i]) / d, 1e-10))
+                     for i in range(d)])
+
+    def objf(mm):
+        sign, logdet = np.linalg.slogdet(mm)
+        if sign <= 0:
+            return -np.inf
+        quad = 0.5 * sum(mm[i] @ g[i] @ mm[i] for i in range(d))
+        return beta * logdet - quad
+
+    prev = objf(m)
+    start = prev
+    for _ in range(num_iters):
+        for i in range(d):
+            inv_t = np.linalg.inv(m).T
+            cof = np.linalg.det(m) * inv_t[i]  # cofactor row
+            gc = ginv[i] @ cof
+            denom = cof @ gc
+            if denom <= 0:
+                continue
+            scale = np.sqrt(beta / denom)
+            # choose sign maximizing objf (log|det| term)
+            m[i] = scale * gc
+        cur = objf(m)
+        if cur - prev < tol * max(abs(prev), 1.0):
+            prev = cur
+            break
+        prev = cur
+    impr = (prev - start) / max(beta, 1.0)
+    return m.astype(np.float32), float(impr)
+
+
+def compose_transforms(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """compose-transforms: result(x) = a(b(x)), handling affine shapes
+    ([E, D] or [E, D+1])."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    if a.shape[1] == b.shape[0]:  # linear . (linear|affine)
+        return (a @ b).astype(np.float32)
+    if a.shape[1] == b.shape[0] + 1:  # affine a over linear/affine b
+        lin = a[:, :-1] @ b
+        if b.shape[1] == b.shape[0]:  # b linear: append a's offset
+            return np.concatenate([lin, a[:, -1:]], axis=1).astype(np.float32)
+        # b affine: fold offsets
+        out = lin.copy()
+        out[:, -1] += a[:, -1]
+        return out.astype(np.float32)
+    raise ValueError(f"incompatible transform shapes {a.shape} {b.shape}")
+
+
+def transform_model_means(am, m: np.ndarray) -> None:
+    """gmm-transform-means: mu <- M mu (in place), gconsts recomputed."""
+    means = am.means()  # [P, M, D]
+    new_means = np.einsum("de,pme->pmd", m.astype(np.float64), means)
+    am.means_invvars = (new_means * am.inv_vars).astype(np.float32)
+    am.compute_gconsts()
