@@ -1,0 +1,358 @@
+"""Top-level project API: the voicebridge_tpu equivalent of the reference's
+public DLL surface.
+
+Counterparts: ``VoiceBridge.h`` (umbrella API, L7) + the ``Params`` global
+path registry (``kaldi-win/scr/Params.h:17-52``) + the examples' incremental
+recompute helpers (``NeedToRetrainModel``/``NeedToDecode``,
+``TestDll/ExamplesUtil.cpp:16-53``).
+
+A :class:`Project` owns a directory layout
+
+    <root>/data/{train,test}/...     prepared tables
+    <root>/data/local/dict           lexicon
+    <root>/lang/                     phones/words/topo/L
+    <root>/feats/...                 feature archives
+    <root>/exp/<model>/              trained models
+    <root>/exp/<model>/graph/        HCLG
+    <root>/exp/<model>/decode/       decode results + WER
+
+and exposes the reference's pipeline calls (PrepareData, PrepareDict,
+PrepareLang, MakeMfcc+CMVN, TrainGmmMono, TrainDeltas, TrainLdaMllt,
+TrainSat, MkGraph, Decode, DecodeFmllr, scoring) as methods.  Each stage
+skips recomputation when its outputs are newer than its inputs (mtime-based,
+like the reference), unless ``force``.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+from .config import (DecodeOptions, DeltaOptions, FmllrDecodeOptions,
+                     LangOptions, LdaOptions, LmOptions, MfccOptions,
+                     MonoTrainOptions, SpliceOptions, TriTrainOptions)
+from .data.dict import prepare_dict as _prepare_dict, read_ref_dict
+from .data.lang import Lang, prepare_lang as _prepare_lang
+from .data.prepare import DataDir, prepare_data as _prepare_data
+from .fst.core import Fst
+from .fst.hclg import mkgraph as _mkgraph
+from .lm.arpa import ArpaModel, arpa_to_fst
+from .models.gmm import AmDiagGmm
+from .models.transition import TransitionModel
+from .models.tree import load_tree
+from .steps.align import align_utterances
+from .steps.decode import Decoder
+from .steps.decode_fmllr import decode_fmllr as _decode_fmllr
+from .steps.make_feats import (apply_feature_chain, compute_cmvn, compute_mfcc)
+from .steps.score import SweepResult, compute_wer_set, score_sweep
+from .steps.train_lda_mllt import lda_decode_feats, train_lda_mllt as _train_lda_mllt
+from .steps.train_mono import TrainedModel, train_mono as _train_mono
+from .steps.train_sat import SatModel, train_sat as _train_sat
+from .steps.train_tri import train_tri as _train_tri
+from .utils.logging import get_logger, init_twin_log
+from .utils.wave import read_wave
+
+log = get_logger()
+
+
+def _newer(outputs: list[Path], inputs: list[Path]) -> bool:
+    """True if every output exists and is newer than every input
+    (NeedToRetrainModel logic, inverted)."""
+    if not outputs or not all(p.exists() for p in outputs):
+        return False
+    out_m = min(p.stat().st_mtime for p in outputs)
+    in_m = max((p.stat().st_mtime for p in inputs if p.exists()), default=0.0)
+    return out_m >= in_m
+
+
+class Project:
+    def __init__(self, root: str | Path, waves_dir: str | Path | None = None,
+                 ref_dict: str | Path | None = None, name: str = "task",
+                 oov_word: str = "<UNK>"):
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+        self.waves_dir = Path(waves_dir) if waves_dir else self.root / "waves"
+        self.ref_dict_path = Path(ref_dict) if ref_dict else None
+        self.name = name
+        self.oov_word = oov_word
+        self.data_dir = self.root / "data"
+        self.lang_dir = self.root / "lang"
+        self.exp_dir = self.root / "exp"
+        init_twin_log(self.root / "General.log")
+        # in-memory caches
+        self._train: DataDir | None = None
+        self._test: DataDir | None = None
+        self._arpa: ArpaModel | None = None
+        self._lang: Lang | None = None
+        self._feats: dict = {}
+
+    # ------------------------------------------------------------------ data
+    def prepare_data(self, percentage_train: int = 90, transc_ext: str = ".txt",
+                     order_ngram: int = 3, idtype: int = 1,
+                     force: bool = False):
+        out = self.data_dir
+        marker = out / "train" / "wav.scp"
+        if not force and _newer([marker], list(self.waves_dir.rglob("*.wav"))):
+            log.info("prepare_data: up to date, skipping")
+            self._load_data()
+            return self
+        train, test, arpa, vocab = _prepare_data(
+            self.waves_dir, percentage_train, transc_ext, idtype,
+            LmOptions(order=order_ngram), out_dir=out)
+        self._train, self._test, self._arpa = train, test, arpa
+        return self
+
+    def _load_data(self):
+        from .utils.io import read_keyed_text
+
+        if self._train is None:
+            for split in ("train", "test"):
+                d = DataDir()
+                base = self.data_dir / split
+                d.wav_paths = {k: Path(v[0]) for k, v in
+                               read_keyed_text(base / "wav.scp").items()}
+                d.text = read_keyed_text(base / "text")
+                d.utt2spk = {k: v[0] for k, v in
+                             read_keyed_text(base / "utt2spk").items()}
+                setattr(self, "_train" if split == "train" else "_test", d)
+            self._arpa = ArpaModel.read(self.data_dir / "task.arpabo")
+
+    @property
+    def train_data(self) -> DataDir:
+        self._load_data()
+        return self._train
+
+    @property
+    def test_data(self) -> DataDir:
+        self._load_data()
+        return self._test
+
+    @property
+    def arpa(self) -> ArpaModel:
+        self._load_data()
+        return self._arpa
+
+    # ------------------------------------------------------------- dict/lang
+    def prepare_dict_and_lang(self, silence_phones=("SIL",),
+                              optional_silence="SIL",
+                              lang_opts: LangOptions | None = None,
+                              force: bool = False):
+        lang_opts = lang_opts or LangOptions(oov_word=self.oov_word)
+        marker = self.lang_dir / "meta.json"
+        if not force and marker.exists():
+            self._lang = Lang.load(self.lang_dir)
+            log.info("prepare_lang: loaded existing lang dir")
+            return self
+        vocab = sorted({w for u in self.train_data.utts
+                        for w in self.train_data.text[u]} |
+                       {w for u in self.test_data.utts
+                        for w in self.test_data.text[u]})
+        ref = read_ref_dict(self.ref_dict_path) if self.ref_dict_path else {}
+        if ref:
+            lexicon, _g2p = _prepare_dict(vocab, ref, list(silence_phones),
+                                          optional_silence, self.oov_word)
+        else:
+            # grapheme fallback: each word spelled as letters (for tests and
+            # quick bootstrapping without a reference dictionary)
+            lexicon = {w: [(1.0, tuple(w))] for w in vocab}
+        self._lang = _prepare_lang(lexicon, list(silence_phones),
+                                   optional_silence, lang_opts)
+        self._lang.save(self.lang_dir)
+        return self
+
+    def set_lexicon(self, lexicon: dict, silence_phones=("SIL",),
+                    optional_silence="SIL", lang_opts: LangOptions | None = None):
+        """Directly provide a lexicon (word -> [(prob, phones)])."""
+        lang_opts = lang_opts or LangOptions(oov_word=self.oov_word)
+        self._lang = _prepare_lang(lexicon, list(silence_phones),
+                                   optional_silence, lang_opts)
+        self._lang.save(self.lang_dir)
+        return self
+
+    @property
+    def lang(self) -> Lang:
+        if self._lang is None:
+            self._lang = Lang.load(self.lang_dir)
+        return self._lang
+
+    # --------------------------------------------------------------- features
+    def make_features(self, mfcc_opts: MfccOptions | None = None,
+                      force: bool = False):
+        """MFCC + per-speaker CMVN for train and test; cached in memory and
+        on disk (feature archives)."""
+        from .utils.io import ArrayArchive, write_archive
+
+        mfcc_opts = mfcc_opts or MfccOptions()
+        for split, data in (("train", self.train_data), ("test", self.test_data)):
+            arc_path = self.root / "feats" / split
+            if not force and (arc_path / "index.json").exists():
+                arc = ArrayArchive(arc_path)
+                self._feats[split] = {u: arc[u] for u in arc.keys()}
+                continue
+            waves = {}
+            for u in data.utts:
+                rate, samples = read_wave(data.wav_paths[u])
+                waves[u] = samples
+            mfcc = compute_mfcc(waves, mfcc_opts)
+            cmvn = compute_cmvn(mfcc, data.utt2spk)
+            feats = apply_feature_chain(mfcc, data.utt2spk, cmvn, deltas=None)
+            write_archive(arc_path, feats)
+            self._feats[split] = feats
+        return self
+
+    def feats(self, split: str, kind: str = "cmvn") -> dict:
+        """kind: 'cmvn' (13-d) or 'delta' (39-d)."""
+        base = self._feats[split]
+        if kind == "cmvn":
+            return base
+        if kind == "delta":
+            data = self.train_data if split == "train" else self.test_data
+            from .steps.make_feats import apply_feature_chain as chain
+
+            # deltas only (CMVN already applied)
+            from .ops.features import add_deltas_batch
+            utts = sorted(base)
+            t_max = max(base[u].shape[0] for u in utts)
+            d = base[utts[0]].shape[1]
+            arr = np.zeros((len(utts), t_max, d), np.float32)
+            nf = np.zeros(len(utts), np.int32)
+            for i, u in enumerate(utts):
+                f = base[u]
+                arr[i, : f.shape[0]] = f
+                nf[i] = f.shape[0]
+            out = np.asarray(add_deltas_batch(arr, nf, DeltaOptions()))
+            return {u: out[i, : nf[i]].copy() for i, u in enumerate(utts)}
+        raise ValueError(kind)
+
+    def transcripts(self, split: str = "train") -> dict:
+        data = self.train_data if split == "train" else self.test_data
+        oov = self.lang.words.get(self.oov_word)
+        return {u: [self.lang.words.get(w, oov) for w in data.text[u]]
+                for u in data.utts}
+
+    # --------------------------------------------------------------- training
+    def train_mono(self, opts: MonoTrainOptions | None = None,
+                   name: str = "mono", force: bool = False) -> TrainedModel:
+        out = self.exp_dir / name
+        if not force and (out / "final.am.npz").exists():
+            log.info("train_mono: loading existing %s", out)
+            return self.load_model(name)
+        model = _train_mono(self.feats("train", "delta"), self.transcripts(),
+                            self.lang, opts or MonoTrainOptions(), out_dir=out)
+        return model
+
+    def align(self, model: TrainedModel, boost_silence: float = 1.0) -> dict:
+        silence_pdfs = sorted({pdf for p in self.lang.silence_phone_ids
+                               for c in range(self.lang.topo.num_pdf_classes(p))
+                               for pdf in model.tree.possible_pdfs(p, c)})
+        return align_utterances(model.am, model.trans_model, self.lang,
+                                self.feats("train", "delta"),
+                                self.transcripts(), acoustic_scale=0.1,
+                                boost_silence=boost_silence,
+                                silence_pdfs=silence_pdfs)
+
+    def train_tri(self, prev: TrainedModel, alignments: dict,
+                  opts: TriTrainOptions | None = None, name: str = "tri1",
+                  force: bool = False) -> TrainedModel:
+        out = self.exp_dir / name
+        if not force and (out / "final.am.npz").exists():
+            return self.load_model(name)
+        return _train_tri(self.feats("train", "delta"), self.transcripts(),
+                          alignments, self.lang, opts or TriTrainOptions(),
+                          prev_trans_model=prev.trans_model, out_dir=out)
+
+    def train_lda_mllt(self, prev: TrainedModel, alignments: dict,
+                       opts: TriTrainOptions | None = None,
+                       name: str = "tri2b", force: bool = False):
+        out = self.exp_dir / name
+        if not force and (out / "final.am.npz").exists():
+            model = self.load_model(name)
+            mat = np.load(out / "final.mat.npy")
+            return model, mat
+        return _train_lda_mllt(self.feats("train", "cmvn"), self.transcripts(),
+                               alignments, self.lang,
+                               opts or TriTrainOptions(),
+                               prev_trans_model=prev.trans_model, out_dir=out)
+
+    def train_sat(self, prev: TrainedModel, alignments: dict,
+                  opts: TriTrainOptions | None = None, name: str = "tri3b",
+                  force: bool = False) -> SatModel:
+        out = self.exp_dir / name
+        return _train_sat(self.feats("train", "delta"),
+                          self.train_data.utt2spk, self.transcripts(),
+                          alignments, prev.am, self.lang,
+                          opts or TriTrainOptions(),
+                          prev_trans_model=prev.trans_model, out_dir=out)
+
+    def load_model(self, name: str) -> TrainedModel:
+        out = self.exp_dir / name
+        am = AmDiagGmm.load(out / "final.am.npz")
+        tree = load_tree(out / "tree.json")
+        tm = TransitionModel(self.lang.topo, tree)
+        tm.load_probs(out / "final.tm.json")
+        return TrainedModel(am, tm, tree, self.lang)
+
+    # ----------------------------------------------------------------- decode
+    def mkgraph(self, model: TrainedModel, name: str = "mono") -> Fst:
+        graph_path = self.exp_dir / name / "graph" / "HCLG.fst.npz"
+        if graph_path.exists() and _newer(
+                [graph_path], [self.exp_dir / name / "final.am.npz"]):
+            return Fst.load(graph_path)
+        g = arpa_to_fst(self.arpa, self.lang.words.id,
+                        self.lang.word_disambig_id)
+        hclg = _mkgraph(self.lang, model.tree, model.trans_model, g)
+        graph_path.parent.mkdir(parents=True, exist_ok=True)
+        hclg.save(graph_path)
+        return hclg
+
+    def _test_batch(self, feats_by_utt: dict):
+        utts = sorted(feats_by_utt)
+        t_max = max(feats_by_utt[u].shape[0] for u in utts)
+        d = feats_by_utt[utts[0]].shape[1]
+        feats = np.zeros((len(utts), t_max, d), np.float32)
+        nf = np.zeros(len(utts), np.int32)
+        for i, u in enumerate(utts):
+            f = feats_by_utt[u]
+            feats[i, : f.shape[0]] = f
+            nf[i] = f.shape[0]
+        return utts, feats, nf
+
+    def decode(self, model: TrainedModel, hclg: Fst, feat_kind: str = "delta",
+               final_mat: np.ndarray | None = None,
+               opts: DecodeOptions | None = None) -> SweepResult:
+        """Decode the test set with an LMWT sweep; returns the best WER."""
+        opts = opts or DecodeOptions()
+        if final_mat is not None:
+            test_feats = lda_decode_feats(self.feats("test", "cmvn"), final_mat)
+        else:
+            test_feats = self.feats("test", feat_kind)
+        utts, feats, nf = self._test_batch(test_feats)
+        dec = Decoder(hclg, model.trans_model, model.am, opts)
+        lmwts = list(range(opts.min_lmwt, opts.max_lmwt + 1, 3))
+        sweep = dec.decode_sweep(utts, feats, nf, lmwts)
+        refs = {u: list(self.test_data.text[u]) for u in utts}
+        hyps_by = {w: {r.utt: [self.lang.words.sym(x) for x in r.words]
+                       for r in rs} for w, rs in sweep.items()}
+        result = score_sweep(refs, hyps_by, opts.word_ins_penalties)
+        log.info("decode: best %s at LMWT %d", result.best_wer, result.best_lmwt)
+        return result
+
+    def decode_fmllr(self, sat: SatModel, hclg: Fst,
+                     opts: FmllrDecodeOptions | None = None) -> SweepResult:
+        opts = opts or FmllrDecodeOptions()
+        test_feats = self.feats("test", "delta")
+        utts, feats, nf = self._test_batch(test_feats)
+        results, _trans = _decode_fmllr(
+            hclg, sat.model.trans_model, sat.model.am, sat.alimdl, self.lang,
+            utts, feats, nf, self.test_data.utt2spk, opts)
+        refs = {u: list(self.test_data.text[u]) for u in utts}
+        hyps = {r.utt: [self.lang.words.sym(x) for x in r.words]
+                for r in results}
+        stats = compute_wer_set(refs, hyps)
+        out = SweepResult(best_wer=stats, best_lmwt=int(1 / opts.acoustic_scale))
+        out.table[(out.best_lmwt, 0.0)] = stats
+        log.info("decode_fmllr: %s", stats)
+        return out

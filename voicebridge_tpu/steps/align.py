@@ -44,9 +44,12 @@ class AlignmentSet:
 
 
 def equal_align(graph: V.DenseGraph, num_frames: int, seed: int = 0):
-    """Evenly-spread initial alignment (align-equal-compiled): pick a shortest
-    arc path through the graph, then pad with self-loops distributed evenly.
+    """Evenly-spread initial alignment (align-equal-compiled): pick a RANDOM
+    successful path through the graph (like the reference — a deterministic
+    shortest path would always skip optional silence, starving the silence
+    pdfs of flat-start data), then pad with self-loops distributed evenly.
     Returns list of arc indices (one per frame) or None if impossible."""
+    rng = np.random.default_rng(seed)
     # adjacency: arcs by src
     by_src: dict[int, list[int]] = {}
     for i, s in enumerate(graph.arc_src):
@@ -59,36 +62,52 @@ def equal_align(graph: V.DenseGraph, num_frames: int, seed: int = 0):
                        graph.arc_score[i] > graph.arc_score[self_loop[s]]):
             self_loop[s] = i
 
-    # BFS (shortest #arcs) from best start state to any final state,
-    # avoiding self-loops
     init = int(np.argmax(graph.alpha0))
     if graph.alpha0[init] <= V.NEG_INF / 2:
         return None
-    prev: dict[int, int] = {init: -1}
-    frontier = [init]
-    goal = -1
-    while frontier and goal < 0:
+    # reverse BFS: min #arcs from each state to a final state (self-loops
+    # excluded) so the random walk never overshoots the frame budget
+    radj: dict[int, list[int]] = {}
+    for i in range(graph.num_arcs):
+        s, d = int(graph.arc_src[i]), int(graph.arc_dst[i])
+        if s != d:
+            radj.setdefault(d, []).append(s)
+    inf = 10 ** 9
+    dist_final = np.full(graph.num_states, inf, np.int64)
+    frontier = [s for s in range(graph.num_states)
+                if graph.final_score[s] > V.NEG_INF / 2]
+    for s in frontier:
+        dist_final[s] = 0
+    while frontier:
         nxt = []
-        for s in frontier:
-            if graph.final_score[s] > V.NEG_INF / 2:
-                goal = s
-                break
-            for i in by_src.get(s, ()):  # arcs out of s
-                d = int(graph.arc_dst[i])
-                if d not in prev and d != s:
-                    prev[d] = i
-                    nxt.append(d)
+        for d in frontier:
+            for s in radj.get(d, ()):  # predecessors
+                if dist_final[s] > dist_final[d] + 1:
+                    dist_final[s] = dist_final[d] + 1
+                    nxt.append(s)
         frontier = nxt
-    if goal < 0:
-        # maybe an initial state is final with zero arcs needed
+    if dist_final[init] > num_frames:
         return None
-    path = []
-    s = goal
-    while prev[s] != -1:
-        i = prev[s]
+
+    # random walk with feasibility constraint
+    path: list[int] = []
+    s = init
+    budget = num_frames
+    while True:
+        if graph.final_score[s] > V.NEG_INF / 2 and (
+                dist_final[s] == 0 and (budget == 0 or rng.random() < 0.3)):
+            break
+        choices = [i for i in by_src.get(s, ())
+                   if int(graph.arc_dst[i]) != s
+                   and dist_final[int(graph.arc_dst[i])] <= budget - 1]
+        if not choices:
+            if graph.final_score[s] > V.NEG_INF / 2:
+                break
+            return None
+        i = int(choices[rng.integers(len(choices))])
         path.append(i)
-        s = int(graph.arc_src[i])
-    path.reverse()
+        s = int(graph.arc_dst[i])
+        budget -= 1
 
     k = len(path)
     if k > num_frames:

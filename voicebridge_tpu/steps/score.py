@@ -131,6 +131,58 @@ def score_sweep(refs: dict, hyps_by_lmwt: dict, word_ins_penalties=(0.0, 0.5, 1.
     return out
 
 
+def per_spk_details(refs: dict, hyps: dict, utt2spk: dict) -> dict:
+    """wer_per_spk_details: speaker -> WerStats."""
+    out: dict = {}
+    for utt, ref in refs.items():
+        spk = utt2spk.get(utt, utt)
+        stats = compute_wer(ref, hyps.get(utt, []))
+        if spk in out:
+            out[spk].add(stats)
+        else:
+            out[spk] = stats
+    return out
+
+
+def ops_details(refs: dict, hyps: dict) -> dict:
+    """wer_ops_details: (op, ref_word, hyp_word) -> count, most frequent
+    confusions first."""
+    from collections import Counter
+
+    ops: Counter = Counter()
+    for utt, ref in refs.items():
+        for r, h in align_text(ref, hyps.get(utt, [])):
+            if r is None:
+                ops[("insertion", None, h)] += 1
+            elif h is None:
+                ops[("deletion", r, None)] += 1
+            elif r != h:
+                ops[("substitution", r, h)] += 1
+            else:
+                ops[("correct", r, h)] += 1
+    return dict(ops.most_common())
+
+
+def wer_bootstrap_ci(refs: dict, hyps: dict, num_reps: int = 10000,
+                     seed: int = 0) -> tuple:
+    """compute-wer-bootci: bootstrap 95% confidence interval on WER by
+    resampling utterances (Bisani & Ney 2004)."""
+    import numpy as np
+
+    utts = sorted(refs)
+    errs = np.zeros(len(utts))
+    words = np.zeros(len(utts))
+    for i, u in enumerate(utts):
+        s = compute_wer(refs[u], hyps.get(u, []))
+        errs[i] = s.num_err
+        words[i] = s.num_words
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, len(utts), size=(num_reps, len(utts)))
+    wers = 100.0 * errs[idx].sum(axis=1) / np.maximum(words[idx].sum(axis=1), 1)
+    return (float(np.percentile(wers, 2.5)), float(np.percentile(wers, 50)),
+            float(np.percentile(wers, 97.5)))
+
+
 def per_utt_details(refs: dict, hyps: dict) -> dict:
     """wer_per_utt_details: utt -> list of (op, ref, hyp)."""
     out = {}

@@ -98,7 +98,7 @@ def train_mono(feats_by_utt: dict[str, np.ndarray],
     weights = np.zeros((b, t_max), np.float32)
     n_fail = 0
     for i, g in enumerate(aset.graphs):
-        fr = equal_align(g, int(num_frames[i]))
+        fr = equal_align(g, int(num_frames[i]), seed=i)
         if fr is None:
             n_fail += 1
             continue
