@@ -18,16 +18,37 @@ from __future__ import annotations
 from ..data.lang import Lang
 from ..models.transition import TransitionModel
 from ..utils.logging import get_logger
-from .compose import compose
+from . import native_bridge
+from .compose import compose as _compose_py
 from .context import compose_context
 from .core import Fst, linear_fst
-from .determinize import determinize_star
+from .determinize import determinize_star as _determinize_py
 from .epsilon import remove_eps_local
 from .hmm_graph import add_self_loops, make_h_transducer, remove_input_symbols
-from .minimize import minimize_encoded
+from .minimize import minimize_encoded as _minimize_py
 from .push import push_special
 
 log = get_logger()
+
+
+# dispatch to the native C++ kernels when the library is built (the reference
+# keeps this whole layer in C++; tests/test_fst_native.py checks parity)
+def compose(a: Fst, b: Fst) -> Fst:
+    if native_bridge.available():
+        return native_bridge.compose(a, b)
+    return _compose_py(a, b)
+
+
+def determinize_star(f: Fst, use_log: bool = False) -> Fst:
+    if native_bridge.available():
+        return native_bridge.determinize_star(f, use_log)
+    return _determinize_py(f, use_log=use_log)
+
+
+def minimize_encoded(f: Fst) -> Fst:
+    if native_bridge.available():
+        return native_bridge.minimize_encoded(f)
+    return _minimize_py(f)
 
 
 def _context_params(tree) -> tuple[int, int]:
