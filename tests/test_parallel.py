@@ -1,0 +1,96 @@
+"""Mesh-parallel correctness: the sharded EM E-step must produce identical
+statistics on any mesh shape (1, 2, 4, 8 devices) — the scale-out guarantee
+the reference never had (SURVEY.md §4 implication iv)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from voicebridge_tpu.models.gmm import AmDiagGmm
+from voicebridge_tpu.ops import gmm_kernels as K
+from voicebridge_tpu.ops import viterbi as V
+from voicebridge_tpu.parallel import mesh as M
+
+
+@pytest.fixture(scope="module")
+def setup():
+    """Tiny model + per-utterance graphs + aligned batch, host-side."""
+    from voicebridge_tpu.config import LangOptions
+    from voicebridge_tpu.data.lang import prepare_lang
+    from voicebridge_tpu.fst.hclg import TrainingGraphCompiler
+    from voicebridge_tpu.models.transition import TransitionModel
+    from voicebridge_tpu.steps.align import equal_align
+    from voicebridge_tpu.steps.train_mono import make_mono_tree
+
+    lex = {"YES": [(1.0, ("Y", "EH", "S"))], "NO": [(1.0, ("N", "OW"))]}
+    lang = prepare_lang(lex, ["SIL"], "SIL", LangOptions())
+    tree = make_mono_tree(lang)
+    tm = TransitionModel(lang.topo, tree)
+    rng = np.random.default_rng(0)
+    dim = 12
+    am = AmDiagGmm.flat_start(tree.num_pdfs, rng.standard_normal(dim),
+                              np.ones(dim))
+    b, t = 8, 24
+    transcripts = [[lang.words.id("YES")], [lang.words.id("NO")]] * (b // 2)
+    compiler = TrainingGraphCompiler(lang, tree, tm)
+    graphs = [V.compile_dense_graph(f, tm.tid2pdf)
+              for f in compiler.compile_batch(transcripts)]
+    padded = V.pad_graphs(graphs)
+    feats = rng.standard_normal((b, t, dim)).astype(np.float32)
+    nf = np.full(b, t, np.int32)
+    tids = np.zeros((b, t), np.int32)
+    weights = np.ones((b, t), np.float32)
+    for i, g in enumerate(graphs):
+        fr = equal_align(g, t, seed=i)
+        tids[i] = g.arc_tid[fr]
+    pdf_ids = tm.tid2pdf[tids].astype(np.int32)
+    return dict(am=am, tm=tm, tree=tree, padded=padded, feats=feats, nf=nf,
+                tids=tids, pdf_ids=pdf_ids, weights=weights)
+
+
+def run_estep(setup, n_dev):
+    mesh = M.make_mesh(num_data=n_dev)
+    p = setup["padded"]
+    params = M.replicate(mesh, K.pack_gmm(setup["am"]))
+    gb = M.shard_batch(mesh, dict(arc_src=p["arc_src"], levels=p["levels"],
+                                  arc_pdf=p["arc_pdf"], arc_score=p["arc_score"],
+                                  alpha0=p["alpha0"]))
+    data = M.shard_batch(mesh, dict(feats=setup["feats"], nf=setup["nf"],
+                                    tids=setup["tids"],
+                                    pdf_ids=setup["pdf_ids"],
+                                    weights=setup["weights"]))
+    step = M.em_estep_sharded(mesh, p["num_states"], setup["tree"].num_pdfs,
+                              setup["tm"].num_transition_ids)
+    alpha_end, bps, occ, macc, vacc, tstats, ll = step(
+        params, gb["arc_src"], gb["levels"], gb["arc_pdf"], gb["arc_score"],
+        gb["alpha0"], data["feats"], data["nf"], data["tids"],
+        data["pdf_ids"], data["weights"], jnp.float32(0.1))
+    return (np.asarray(occ), np.asarray(macc), np.asarray(tstats), float(ll),
+            np.asarray(alpha_end))
+
+
+class TestMeshConsistency:
+    def test_same_stats_across_mesh_shapes(self, setup):
+        results = {n: run_estep(setup, n) for n in (1, 2, 4, 8)}
+        ref = results[1]
+        for n in (2, 4, 8):
+            occ, macc, tstats, ll, alpha = results[n]
+            np.testing.assert_allclose(occ, ref[0], rtol=1e-5, atol=1e-4)
+            np.testing.assert_allclose(macc, ref[1], rtol=1e-4, atol=1e-3)
+            np.testing.assert_allclose(tstats, ref[2], rtol=1e-5, atol=1e-4)
+            assert abs(ll - ref[3]) < 1e-2 * max(abs(ref[3]), 1)
+            np.testing.assert_allclose(alpha, ref[4], rtol=1e-4, atol=1e-3)
+
+    def test_alignment_forward_matches_unsharded(self, setup):
+        p = setup["padded"]
+        ll_frames = K.loglikes_batch(K.pack_gmm(setup["am"]),
+                                     jnp.asarray(setup["feats"]))
+        alpha_end, _ = V.viterbi_forward_batched(
+            p["arc_src"], p["levels"], p["arc_pdf"], p["arc_score"],
+            p["alpha0"], ll_frames, jnp.asarray(setup["nf"]),
+            np.float32(0.1), np.float32(1e9), p["num_states"])
+        _, _, _, _, alpha_sharded = run_estep(setup, 4)
+        np.testing.assert_allclose(np.asarray(alpha_end), alpha_sharded,
+                                   rtol=1e-4, atol=1e-3)
