@@ -68,10 +68,31 @@ def inverse_mel_scale(mel):
     return 700.0 * (np.exp(mel / 1127.0) - 1.0)
 
 
+def vtln_warp_freq(vtln_low: float, vtln_high: float, low_freq: float,
+                   high_freq: float, warp: float, freq):
+    """Kaldi's piecewise-linear VTLN warp (mel-computations.cc VtlnWarpFreq):
+    slope 1/warp in the middle, linear interpolation to the edges."""
+    freq = np.asarray(freq, np.float64)
+    if warp == 1.0:
+        return freq
+    scale = 1.0 / warp
+    f_low = vtln_low * max(1.0, warp)
+    f_high = vtln_high * min(1.0, warp)
+    scale_left = (scale * f_low - low_freq) / (f_low - low_freq)
+    scale_right = (high_freq - scale * f_high) / (high_freq - f_high)
+    out = np.where(
+        freq < f_low, low_freq + scale_left * (freq - low_freq),
+        np.where(freq <= f_high, scale * freq,
+                 high_freq + scale_right * (freq - high_freq)))
+    return np.where((freq < low_freq) | (freq > high_freq), freq, out)
+
+
 def mel_bank_matrix(num_bins: int, frame_opts: FrameOptions, low_freq: float = 20.0,
-                    high_freq: float = 0.0) -> np.ndarray:
+                    high_freq: float = 0.0, vtln_warp: float = 1.0,
+                    vtln_low: float = 100.0, vtln_high: float = -500.0) -> np.ndarray:
     """Triangular mel filterbank as a dense ``[num_bins, num_fft_bins]`` matrix
-    (reference: ``MelBanks`` ctor, mel-computations.cc:46-120)."""
+    (reference: ``MelBanks`` ctor, mel-computations.cc:46-120), with optional
+    VTLN warping of the bin edges."""
     padded = frame_opts.padded_window_size
     num_fft_bins = padded // 2
     nyquist = 0.5 * frame_opts.samp_freq
@@ -79,18 +100,27 @@ def mel_bank_matrix(num_bins: int, frame_opts: FrameOptions, low_freq: float = 2
         high_freq = nyquist + high_freq
     if not (0.0 <= low_freq < nyquist and low_freq < high_freq <= nyquist):
         raise ValueError(f"bad frequency range [{low_freq}, {high_freq}]")
+    if vtln_high < 0.0:
+        vtln_high += nyquist
     fft_bin_width = frame_opts.samp_freq / padded
     mel_low = mel_scale(low_freq)
     mel_high = mel_scale(high_freq)
     mel_delta = (mel_high - mel_low) / (num_bins + 1)
 
+    def warp_mel(mel):
+        if vtln_warp == 1.0:
+            return mel
+        f = inverse_mel_scale(mel)
+        return mel_scale(vtln_warp_freq(vtln_low, vtln_high, low_freq,
+                                        high_freq, vtln_warp, f))
+
     bins = np.zeros((num_bins, num_fft_bins), dtype=np.float64)
     freqs = fft_bin_width * np.arange(num_fft_bins)
     mels = mel_scale(freqs)
     for b in range(num_bins):
-        left = mel_low + b * mel_delta
-        center = mel_low + (b + 1) * mel_delta
-        right = mel_low + (b + 2) * mel_delta
+        left = warp_mel(mel_low + b * mel_delta)
+        center = warp_mel(mel_low + (b + 1) * mel_delta)
+        right = warp_mel(mel_low + (b + 2) * mel_delta)
         up = (mels - left) / (center - left)
         down = (right - mels) / (right - center)
         w = np.where(mels <= center, up, down)
@@ -254,6 +284,61 @@ class MfccExtractor:
             0,
         )
         return feats, counts
+
+
+class FbankExtractor:
+    """Log-mel filterbank features (reference: ``FbankComputer``,
+    feat/feature-fbank.h — same chain as MFCC minus DCT/lifter)."""
+
+    def __init__(self, opts: MfccOptions = MfccOptions(), use_energy: bool = False):
+        self.opts = opts
+        self.use_energy = use_energy
+        self.window = jnp.asarray(feature_window(opts.frame_opts))
+        self.mel_mat = jnp.asarray(
+            mel_bank_matrix(opts.mel_opts.num_bins, opts.frame_opts,
+                            opts.mel_opts.low_freq, opts.mel_opts.high_freq))
+
+    @property
+    def dim(self) -> int:
+        return self.opts.mel_opts.num_bins + (1 if self.use_energy else 0)
+
+    def __call__(self, wave: np.ndarray) -> np.ndarray:
+        fo = self.opts.frame_opts
+        nf = fo.num_frames(len(wave))
+        if nf == 0:
+            return np.zeros((0, self.dim), np.float32)
+        frames = extract_frames(jnp.asarray(wave, jnp.float32), nf, fo)
+        frames, log_energy = _process_window(frames, self.opts, self.window, None)
+        padded = fo.padded_window_size
+        frames = jnp.pad(frames, ((0, 0), (0, padded - frames.shape[1])))
+        spec = jnp.fft.rfft(frames, axis=-1)
+        power = (spec.real**2 + spec.imag**2)[:, : padded // 2]
+        mel = jnp.dot(power, self.mel_mat.T, precision=jax.lax.Precision.HIGHEST)
+        logmel = jnp.log(jnp.maximum(mel, FLT_EPS))
+        if self.use_energy:
+            logmel = jnp.concatenate([log_energy[:, None], logmel], axis=1)
+        return np.asarray(logmel)
+
+
+class SpectrogramExtractor:
+    """Log power-spectrogram features (feat/feature-spectrogram.h)."""
+
+    def __init__(self, opts: MfccOptions = MfccOptions()):
+        self.opts = opts
+        self.window = jnp.asarray(feature_window(opts.frame_opts))
+
+    def __call__(self, wave: np.ndarray) -> np.ndarray:
+        fo = self.opts.frame_opts
+        nf = fo.num_frames(len(wave))
+        if nf == 0:
+            return np.zeros((0, fo.padded_window_size // 2 + 1), np.float32)
+        frames = extract_frames(jnp.asarray(wave, jnp.float32), nf, fo)
+        frames, _e = _process_window(frames, self.opts, self.window, None)
+        padded = fo.padded_window_size
+        frames = jnp.pad(frames, ((0, 0), (0, padded - frames.shape[1])))
+        spec = jnp.fft.rfft(frames, axis=-1)
+        power = spec.real**2 + spec.imag**2
+        return np.asarray(jnp.log(jnp.maximum(power, FLT_EPS)))
 
 
 # ---------------------------------------------------------------------------

@@ -66,9 +66,14 @@ def train_mono(feats_by_utt: dict[str, np.ndarray],
                lang: Lang,
                opts: MonoTrainOptions = MonoTrainOptions(),
                out_dir: str | Path | None = None,
-               checkpoint_every: int = 0) -> TrainedModel:
+               checkpoint_every: int = 0,
+               resume: bool = True) -> TrainedModel:
     """``feats_by_utt``: utt -> [T, D] final features (CMVN+deltas applied);
-    ``transcripts``: utt -> word-id sequence."""
+    ``transcripts``: utt -> word-id sequence.
+
+    With ``checkpoint_every > 0`` and an ``out_dir``, per-iteration state is
+    checkpointed (SURVEY.md §5.4 role of 0.mdl..40.mdl) and training resumes
+    from the latest checkpoint when re-invoked (``resume=True``)."""
     utts = sorted(feats_by_utt)
     feats_list = [feats_by_utt[u] for u in utts]
     feats, num_frames = _batchify(feats_list)
@@ -129,14 +134,32 @@ def train_mono(feats_by_utt: dict[str, np.ndarray],
 
     num_gauss = am.num_gauss
     inc_gauss = (opts.totgauss - num_gauss) // opts.max_iter_inc
-    cur_occ = occ
 
     silence_pdfs = sorted({tree.map_mono(p, c)
                            for p in lang.silence_phone_ids
                            for c in range(lang.topo.num_pdf_classes(p))})
 
+    # ---- checkpoint/resume -------------------------------------------------
+    ckpt = None
+    start_it = 1
+    if out_dir and checkpoint_every:
+        from ..utils.checkpoint import TrainCheckpoint
+
+        ckpt = TrainCheckpoint(Path(out_dir) / "checkpoints")
+        if resume:
+            state = ckpt.latest()
+            if state is not None:
+                am = state["am"]
+                trans_model.log_probs = state["trans_log_probs"]
+                tids = state["tids"]
+                weights = state["weights"]
+                num_gauss = state["meta"].get("num_gauss_target", num_gauss)
+                start_it = state["iteration"] + 1
+                log.info("train_mono: resumed from iteration %d",
+                         state["iteration"])
+
     # ---- EM loop -----------------------------------------------------------
-    for it in range(1, opts.num_iters + 1):
+    for it in range(start_it, opts.num_iters + 1):
         if it in opts.realign_iters:
             align_am = (am.boost_silence(silence_pdfs, opts.boost_silence)
                         if opts.boost_silence != 1.0 else am)
@@ -162,12 +185,12 @@ def train_mono(feats_by_utt: dict[str, np.ndarray],
         am.split_to_target(num_gauss, occ, power=opts.power,
                            perturb_factor=opts.perturb_factor, seed=it)
         trans_model.mle_update(tstats)
-        cur_occ = occ
         if it % 5 == 0 or it == opts.num_iters:
             log.info("train_mono iter %d: loglike/frame %.4f, num_gauss %d",
                      it, ll / max(float(weights.sum()), 1), am.num_gauss)
-        if out_dir and checkpoint_every and it % checkpoint_every == 0:
-            save_model(Path(out_dir), am, trans_model, tree, iteration=it)
+        if ckpt is not None and it % checkpoint_every == 0:
+            ckpt.save(it, am, trans_model.log_probs, tids, weights,
+                      {"num_gauss_target": num_gauss})
 
     model = TrainedModel(am, trans_model, tree, lang)
     if out_dir:

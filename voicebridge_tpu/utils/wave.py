@@ -37,3 +37,39 @@ def write_wave(path: str | Path, rate: float, samples: np.ndarray) -> None:
     Path(path).parent.mkdir(parents=True, exist_ok=True)
     clipped = np.clip(np.round(samples), -32768, 32767).astype(np.int16)
     wavfile.write(str(path), int(rate), clipped)
+
+
+def resample(samples: np.ndarray, in_rate: float, out_rate: float,
+             num_zeros: int = 10) -> np.ndarray:
+    """Bandlimited windowed-sinc resampling (role of the reference's
+    ``LinearResample``, feat/resample.h:147)."""
+    if in_rate == out_rate:
+        return samples.astype(np.float32)
+    import math
+
+    ratio = out_rate / in_rate
+    cutoff = 0.95 * 0.5 * min(in_rate, out_rate)
+    n_out = int(math.floor(len(samples) * ratio))
+    t_out = np.arange(n_out) / out_rate  # output sample times
+    center = t_out * in_rate  # position in input samples
+    width = num_zeros * in_rate / (2.0 * cutoff)
+    lo = np.maximum(np.ceil(center - width).astype(np.int64), 0)
+    k = int(np.ceil(2 * width)) + 2
+    idx = lo[:, None] + np.arange(k)[None, :]  # [n_out, k]
+    valid = idx < len(samples)
+    x = np.where(valid, samples[np.minimum(idx, len(samples) - 1)], 0.0)
+    delta = (idx - center[:, None]) / in_rate  # seconds
+    # Hann-windowed sinc at the cutoff frequency
+    window = np.where(np.abs(delta) < width / in_rate,
+                      0.5 + 0.5 * np.cos(np.pi * delta * in_rate / width), 0.0)
+    sinc = 2 * cutoff * np.sinc(2 * cutoff * delta)
+    taps = window * sinc / in_rate
+    return (x * taps).sum(axis=1).astype(np.float32)
+
+
+def extract_segment(samples: np.ndarray, rate: float, start: float,
+                    end: float) -> np.ndarray:
+    """extract-segments: slice [start, end) seconds from a recording."""
+    lo = max(int(round(start * rate)), 0)
+    hi = min(int(round(end * rate)), len(samples))
+    return samples[lo:hi]
