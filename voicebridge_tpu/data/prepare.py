@@ -74,6 +74,24 @@ class DataDir:
         return problems
 
 
+def fix_data_dir(data: DataDir) -> tuple[DataDir, list]:
+    """FixDataDir (scr/utils/fix_data_dir.cpp): drop utterances missing from
+    any table so wav/text/utt2spk agree; returns (fixed copy, removed utts)."""
+    complete = [u for u in data.wav_paths
+                if u in data.text and data.text[u] and u in data.utt2spk]
+    removed = sorted(set(list(data.wav_paths) + list(data.text) +
+                         list(data.utt2spk)) - set(complete))
+    if removed:
+        log.info("fix_data_dir: removed %d inconsistent utterances", len(removed))
+    return data.subset(complete), removed
+
+
+def filter_scp(keys, table: dict) -> dict:
+    """FilterScp: keep only entries whose key is in ``keys``."""
+    keep = set(keys)
+    return {k: v for k, v in table.items() if k in keep}
+
+
 def speaker_id_for(path: Path, idtype: int) -> str:
     """The reference's speaker-id heuristic (prepare_data.cpp:18-80)."""
     if idtype == 0:
