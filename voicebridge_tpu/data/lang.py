@@ -93,6 +93,39 @@ class Lang:
         )
 
 
+def validate_lang(lang: Lang) -> list:
+    """ValidateLang (validate_lang.cpp, 1 153 LoC): structural consistency
+    checks on a built Lang; returns a list of problems (empty = valid)."""
+    problems = []
+    if "<eps>" not in lang.phones or lang.phones.id("<eps>") != 0:
+        problems.append("phones.txt must map <eps> to 0")
+    if "<eps>" not in lang.words or lang.words.id("<eps>") != 0:
+        problems.append("words.txt must map <eps> to 0")
+    dis = set(lang.disambig_ids)
+    for i in lang.phone_ids:
+        if i in dis:
+            problems.append(f"phone id {i} is both real and disambig")
+    if lang.optional_silence_id not in set(lang.silence_phone_ids):
+        problems.append("optional silence not among silence phones")
+    for p in lang.phone_ids:
+        if p not in lang.topo.entries:
+            problems.append(f"phone {lang.phones.sym(p)} has no topology entry")
+    # L must be functional enough: every arc's labels in range
+    max_ph = lang.phones.max_id()
+    max_w = lang.words.max_id()
+    for f, name in ((lang.L, "L"), (lang.L_disambig, "L_disambig")):
+        if f.start < 0:
+            problems.append(f"{name} has no start state")
+            continue
+        for s in f.states():
+            for a in f.arcs[s]:
+                if not (0 <= a.ilabel <= max_ph):
+                    problems.append(f"{name}: bad ilabel {a.ilabel}")
+                if not (0 <= a.olabel <= max_w):
+                    problems.append(f"{name}: bad olabel {a.olabel}")
+    return problems
+
+
 def _positionize(pron: tuple[str, ...]) -> tuple[str, ...]:
     """Apply word-position-dependent suffixes (prepare_lang.cpp behavior)."""
     if len(pron) == 1:

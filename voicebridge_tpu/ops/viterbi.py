@@ -261,6 +261,82 @@ def _relax_tree(scores: jnp.ndarray, levels: tuple):
     return jax.vmap(lambda s: _tree_reduce_max(s, levels))(scores)
 
 
+class FusedPlan(NamedTuple):
+    """Level-0-fused reduction plan: the first level's rows carry
+    pre-gathered (src, weight, pdf) so the per-frame step never materializes
+    the [B, A] arc-score array — the candidate block [R0, K] is computed
+    directly from alpha and the frame's loglikes."""
+
+    l0_arc: np.ndarray  # [R0, K] arc id (-1 pad)
+    l0_src: np.ndarray  # [R0, K] arc source state (0 pad)
+    l0_w: np.ndarray  # [R0, K] arc score (-inf pad)
+    l0_pdf: np.ndarray  # [R0, K] arc pdf (0 pad)
+    upper: tuple  # remaining levels (level 1.. indexes level-0 rows)
+
+
+def build_fused_plan(graph: "DenseGraph", k: int = 8) -> FusedPlan:
+    plan = build_reduction_plan(graph.arc_dst, graph.num_states, k)
+    l0 = plan.levels[0]
+    valid = l0 >= 0
+    safe = np.maximum(l0, 0)
+    return FusedPlan(
+        l0_arc=l0,
+        l0_src=np.where(valid, graph.arc_src[safe], 0).astype(np.int32),
+        l0_w=np.where(valid, graph.arc_score[safe], NEG_INF).astype(np.float32),
+        l0_pdf=np.where(valid, graph.arc_pdf[safe], 0).astype(np.int32),
+        upper=plan.levels[1:],
+    )
+
+
+def _fused_reduce_max(alpha: jnp.ndarray, ll_t: jnp.ndarray, plan: FusedPlan,
+                      acoustic_scale):
+    """alpha [S], ll_t [P] -> (new_alpha [S], winner arc [S])."""
+    g = alpha[plan.l0_src] + plan.l0_w + ll_t[plan.l0_pdf] * acoustic_scale
+    g = jnp.where(plan.l0_arc >= 0, g, NEG_INF)  # [R0, K]
+    arg = jnp.argmax(g, axis=1)
+    v = jnp.take_along_axis(g, arg[:, None], axis=1)[:, 0]
+    widx = jnp.take_along_axis(plan.l0_arc, arg[:, None], axis=1)[:, 0]
+    widx = jnp.where(v > NEG_INF / 2, widx, -1)
+    for idx in plan.upper:
+        safe = jnp.maximum(idx, 0)
+        gg = jnp.where(idx >= 0, v[safe], NEG_INF)
+        arg = jnp.argmax(gg, axis=1)
+        v = jnp.take_along_axis(gg, arg[:, None], axis=1)[:, 0]
+        chosen = jnp.take_along_axis(idx, arg[:, None], axis=1)[:, 0]
+        widx = jnp.where(chosen >= 0, widx[jnp.maximum(chosen, 0)], -1)
+        widx = jnp.where(v > NEG_INF / 2, widx, -1)
+    return v, widx
+
+
+@functools.partial(jax.jit, static_argnames=("num_states",))
+def viterbi_forward_shared_fused(plan: FusedPlan, alpha0, loglikes, num_frames,
+                                 acoustic_scale, beam, num_states: int):
+    """Fused-level-0 variant of viterbi_forward_shared (same outputs)."""
+    b = loglikes.shape[0]
+
+    def step(carry, inp):
+        alpha, alpha_at_end, t = carry
+        ll_t = inp  # [B, P]
+        new_alpha, bp = jax.vmap(
+            lambda a, l: _fused_reduce_max(a, l, plan, acoustic_scale)
+        )(alpha, ll_t)
+        best = jnp.max(new_alpha, axis=1, keepdims=True)
+        new_alpha = jnp.where(new_alpha >= best - beam, new_alpha, NEG_INF)
+        active = (t < num_frames)[:, None]
+        alpha = jnp.where(active, new_alpha, alpha)
+        at_end = (t + 1 == num_frames)[:, None]
+        alpha_at_end = jnp.where(at_end, alpha, alpha_at_end)
+        return (alpha, alpha_at_end, t + 1), bp
+
+    alpha_init = jnp.broadcast_to(alpha0[None, :], (b, num_states))
+    zero_end = jnp.where((num_frames == 0)[:, None], alpha_init,
+                         jnp.full((b, num_states), NEG_INF))
+    (_, alpha_end, _), bps = jax.lax.scan(
+        step, (alpha_init, zero_end, jnp.int32(0)),
+        jnp.swapaxes(loglikes, 0, 1))
+    return alpha_end, bps
+
+
 @functools.partial(jax.jit, static_argnames=("num_states",))
 def viterbi_forward_shared(arc_src, levels, arc_pdf, arc_score, alpha0,
                            loglikes, num_frames, acoustic_scale, beam,

@@ -106,6 +106,14 @@ def compute_wer_set(refs: dict, hyps: dict) -> WerStats:
     return total
 
 
+def compute_cer_set(refs: dict, hyps: dict) -> WerStats:
+    """Character error rate (ScoreKaldiCER): same machinery over the
+    character sequences of the space-joined transcripts."""
+    crefs = {u: list(" ".join(w)) for u, w in refs.items()}
+    chyps = {u: list(" ".join(w)) for u, w in hyps.items()}
+    return compute_wer_set(crefs, chyps)
+
+
 @dataclass
 class SweepResult:
     best_wer: WerStats = field(default_factory=WerStats)
