@@ -62,7 +62,7 @@ def main():
     num_frames = np.full((b,), t, np.int32)
 
     levels = tuple(jnp.asarray(l) for l in
-                   V.build_reduction_plan(arc_dst, num_states).levels)
+                   V.build_reduction_plan(arc_dst, num_states, k=8).levels)
     graph = V.DenseGraph(
         num_states=num_states, arc_src=arc_src, arc_dst=arc_dst,
         arc_tid=arc_pdf, arc_pdf=arc_pdf, arc_score=arc_score,

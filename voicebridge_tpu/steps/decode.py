@@ -42,7 +42,7 @@ class Decoder:
                  opts: DecodeOptions = DecodeOptions()):
         self.graph = V.compile_dense_graph(hclg, trans_model.tid2pdf)
         self.levels = V.build_reduction_plan(self.graph.arc_dst,
-                                             self.graph.num_states).levels
+                                             self.graph.num_states, k=8).levels
         self.trans_model = trans_model
         self.opts = opts
         self.params = K.pack_gmm(am)
