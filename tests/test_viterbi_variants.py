@@ -54,6 +54,26 @@ class TestVariants:
         for r1, r2 in zip(p1, p2):
             assert abs(r1["score"] - r2["score"]) < 1e-3
 
+    def test_max_active_pruning(self):
+        g = random_graph(num_states=60, seed=5)
+        levels = tuple(V.build_reduction_plan(g.arc_dst, g.num_states).levels)
+        b, t, p = 2, 15, 9
+        ll = jnp.asarray(RNG.standard_normal((b, t, p)).astype(np.float32) * 3)
+        nf = np.array([15, 15], np.int32)
+        args = (jnp.asarray(g.arc_src), levels, jnp.asarray(g.arc_pdf),
+                jnp.asarray(g.arc_score), jnp.asarray(g.alpha0), ll,
+                jnp.asarray(nf), np.float32(1.0), np.float32(1e9))
+        a_exact, _ = V.viterbi_forward_shared(*args, g.num_states)
+        a_pruned, _ = V.viterbi_forward_shared(*args, g.num_states,
+                                               max_active=10)
+        # at most 10 live states per frame end
+        live = (np.asarray(a_pruned) > V.NEG_INF / 2).sum(axis=1)
+        assert (live <= 10).all()
+        # the best state survives pruning with its exact score
+        be = np.asarray(a_exact).max(axis=1)
+        bp = np.asarray(a_pruned).max(axis=1)
+        np.testing.assert_allclose(bp, be, rtol=1e-5, atol=1e-4)
+
     def test_windowed_matches_full(self):
         g = random_graph(num_states=40, seed=3)
         levels = tuple(V.build_reduction_plan(g.arc_dst, g.num_states).levels)

@@ -261,6 +261,19 @@ def _relax_tree(scores: jnp.ndarray, levels: tuple):
     return jax.vmap(lambda s: _tree_reduce_max(s, levels))(scores)
 
 
+
+def _prune(new_alpha: jnp.ndarray, beam, max_active: int) -> jnp.ndarray:
+    """Beam + max-active pruning of [B, S] scores (the role of Kaldi's
+    GetCutoff/adaptive beam, lattice-faster-decoder.cc:618): keep states
+    within ``beam`` of the best, and at most ``max_active`` states."""
+    best = jnp.max(new_alpha, axis=1, keepdims=True)
+    out = jnp.where(new_alpha >= best - beam, new_alpha, NEG_INF)
+    if max_active and max_active < out.shape[1]:
+        kth = jax.lax.top_k(out, max_active)[0][:, -1:]
+        out = jnp.where(out >= kth, out, NEG_INF)
+    return out
+
+
 class FusedPlan(NamedTuple):
     """Level-0-fused reduction plan: the first level's rows carry
     pre-gathered (src, weight, pdf) so the per-frame step never materializes
@@ -308,9 +321,10 @@ def _fused_reduce_max(alpha: jnp.ndarray, ll_t: jnp.ndarray, plan: FusedPlan,
     return v, widx
 
 
-@functools.partial(jax.jit, static_argnames=("num_states",))
+@functools.partial(jax.jit, static_argnames=("num_states", "max_active"))
 def viterbi_forward_shared_fused(plan: FusedPlan, alpha0, loglikes, num_frames,
-                                 acoustic_scale, beam, num_states: int):
+                                 acoustic_scale, beam, num_states: int,
+                                 max_active: int = 0):
     """Fused-level-0 variant of viterbi_forward_shared (same outputs)."""
     b = loglikes.shape[0]
 
@@ -320,8 +334,7 @@ def viterbi_forward_shared_fused(plan: FusedPlan, alpha0, loglikes, num_frames,
         new_alpha, bp = jax.vmap(
             lambda a, l: _fused_reduce_max(a, l, plan, acoustic_scale)
         )(alpha, ll_t)
-        best = jnp.max(new_alpha, axis=1, keepdims=True)
-        new_alpha = jnp.where(new_alpha >= best - beam, new_alpha, NEG_INF)
+        new_alpha = _prune(new_alpha, beam, max_active)
         active = (t < num_frames)[:, None]
         alpha = jnp.where(active, new_alpha, alpha)
         at_end = (t + 1 == num_frames)[:, None]
@@ -337,10 +350,10 @@ def viterbi_forward_shared_fused(plan: FusedPlan, alpha0, loglikes, num_frames,
     return alpha_end, bps
 
 
-@functools.partial(jax.jit, static_argnames=("num_states",))
+@functools.partial(jax.jit, static_argnames=("num_states", "max_active"))
 def viterbi_forward_shared(arc_src, levels, arc_pdf, arc_score, alpha0,
                            loglikes, num_frames, acoustic_scale, beam,
-                           num_states: int):
+                           num_states: int, max_active: int = 0):
     """Shared decode graph, batched utterances.
 
     arc_src/arc_pdf/arc_score: [A]; ``levels``: reduction-plan index arrays;
@@ -355,8 +368,7 @@ def viterbi_forward_shared(arc_src, levels, arc_pdf, arc_score, alpha0,
         am = ll_t[:, arc_pdf] * acoustic_scale  # [B, A]
         score = alpha[:, arc_src] + arc_score[None, :] + am  # [B, A]
         new_alpha, bp = _relax_tree(score, levels)
-        best = jnp.max(new_alpha, axis=1, keepdims=True)
-        new_alpha = jnp.where(new_alpha >= best - beam, new_alpha, NEG_INF)
+        new_alpha = _prune(new_alpha, beam, max_active)
         active = (t < num_frames)[:, None]  # [B, 1]
         alpha = jnp.where(active, new_alpha, alpha)
         # snapshot alpha at the utterance's last frame
@@ -406,10 +418,10 @@ def build_batched_plans(graphs_arc_dst: list[np.ndarray], num_arcs_each: list[in
     return tuple(out)
 
 
-@functools.partial(jax.jit, static_argnames=("num_states",))
+@functools.partial(jax.jit, static_argnames=("num_states", "max_active"))
 def viterbi_forward_batched(arc_src, levels, arc_pdf, arc_score, alpha0,
                             loglikes, num_frames, acoustic_scale, beam,
-                            num_states: int):
+                            num_states: int, max_active: int = 0):
     """Per-utterance graphs (training alignment): arc_* [B, A], alpha0 [B, S],
     loglikes [B, T, P]; ``levels`` = per-graph reduction plans stacked on the
     batch axis (from :func:`build_batched_plans`).  Returns
@@ -424,8 +436,7 @@ def viterbi_forward_batched(arc_src, levels, arc_pdf, arc_score, alpha0,
         src_sc = jnp.take_along_axis(alpha, arc_src, axis=1)  # [B, A]
         score = src_sc + arc_score + am  # [B, A]
         new_alpha, bp = jax.vmap(_tree_reduce_max)(score, levels)
-        best = jnp.max(new_alpha, axis=1, keepdims=True)
-        new_alpha = jnp.where(new_alpha >= best - beam, new_alpha, NEG_INF)
+        new_alpha = _prune(new_alpha, beam, max_active)
         active = (t < num_frames)[:, None]
         alpha = jnp.where(active, new_alpha, alpha)
         at_end = (t + 1 == num_frames)[:, None]
@@ -444,10 +455,10 @@ def viterbi_forward_batched(arc_src, levels, arc_pdf, arc_score, alpha0,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("num_states", "window"))
+@functools.partial(jax.jit, static_argnames=("num_states", "window", "max_active"))
 def _window_forward_with_bp(arc_src, levels, arc_pdf, arc_score, alpha_start,
                             loglikes_win, num_frames, t0, acoustic_scale, beam,
-                            num_states: int, window: int):
+                            num_states: int, window: int, max_active: int = 0):
     """Re-run ``window`` frames from a snapshot, recording backpointers.
     alpha_start [B, S]; loglikes_win [B, W, P]; returns bp [W, B, S]."""
 
@@ -457,8 +468,7 @@ def _window_forward_with_bp(arc_src, levels, arc_pdf, arc_score, alpha_start,
         am = ll_t[:, arc_pdf] * acoustic_scale
         score = alpha[:, arc_src] + arc_score[None, :] + am
         new_alpha, bp = _relax_tree(score, levels)
-        best = jnp.max(new_alpha, axis=1, keepdims=True)
-        new_alpha = jnp.where(new_alpha >= best - beam, new_alpha, NEG_INF)
+        new_alpha = _prune(new_alpha, beam, max_active)
         active = (t < num_frames)[:, None]
         alpha = jnp.where(active, new_alpha, alpha)
         return (alpha, t + 1), bp
@@ -494,7 +504,7 @@ def _window_backtrace(bps, arc_src, state, nf, t_hi0):
 
 def viterbi_decode_windowed(graph: DenseGraph, levels, loglikes, num_frames,
                             acoustic_scale: float, beam: float,
-                            window: int = 64):
+                            window: int = 64, max_active: int = 0):
     """Memory-bounded exact Viterbi decode over a shared graph.
 
     Phase 1: forward scan storing an alpha snapshot at each window start
@@ -531,8 +541,7 @@ def viterbi_decode_windowed(graph: DenseGraph, levels, loglikes, num_frames,
                 am = ll_t[:, arc_pdf] * acwt
                 score = al[:, arc_src] + arc_score[None, :] + am
                 na, _ = _relax_tree(score, levels)
-                best = jnp.max(na, axis=1, keepdims=True)
-                na = jnp.where(na >= best - beam_, na, NEG_INF)
+                na = _prune(na, beam_, max_active)
                 active = (tt < nf)[:, None]
                 al = jnp.where(active, na, al)
                 end = (tt + 1 == nf)[:, None]
@@ -591,7 +600,7 @@ def viterbi_decode_windowed(graph: DenseGraph, levels, loglikes, num_frames,
         bps = _window_forward_with_bp(
             arc_src, levels, arc_pdf, arc_score,
             jnp.asarray(snaps[w]), ll_win, nf, jnp.int32(lo), acwt, beam_,
-            s, window)
+            s, window, max_active)
         arcs_w, cur_state = _window_backtrace(bps, arc_src_j, cur_state, nf,
                                               jnp.int32(lo + window))
         arc_window_chunks.append(np.asarray(arcs_w))

@@ -61,7 +61,8 @@ class Decoder:
         paths = V.viterbi_decode_windowed(
             g, self.levels, ll, np.asarray(num_frames),
             acoustic_scale=acwt, beam=self.opts.beam,
-            window=min(64, max(8, int(np.max(num_frames)))))
+            window=min(64, max(8, int(np.max(num_frames)))),
+            max_active=self.opts.max_active)
         out = []
         for u, r in zip(utts, paths):
             out.append(DecodeResult(u, r["words"], r["score"],
