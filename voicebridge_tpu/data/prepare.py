@@ -13,7 +13,6 @@ role -> lm/ngram.py) plus the vocabulary.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field
 from pathlib import Path
 

@@ -26,7 +26,6 @@ tiny arrays, offline between EM iterations.
 
 from __future__ import annotations
 
-import json
 import math
 from pathlib import Path
 

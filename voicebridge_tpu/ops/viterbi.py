@@ -559,9 +559,10 @@ def viterbi_decode_windowed(graph: DenseGraph, levels, loglikes, num_frames,
             loglikes.reshape(b, nw, window, -1).swapaxes(0, 1))
         return alpha_end, snaps  # snaps [NW, B, S]
 
-    alpha_end, snaps = phase1(loglikes, nf)
-    alpha_end = np.asarray(alpha_end)
-    snaps = np.asarray(snaps)
+    alpha_end_dev, snaps = phase1(loglikes, nf)
+    # snaps stay DEVICE-RESIDENT ([NW, B, S] can be hundreds of MB; only the
+    # [B, S] alpha_end comes to the host for end-state selection)
+    alpha_end = np.asarray(alpha_end_dev)
     nf_np = np.asarray(num_frames)
 
     # choose end state per utterance
@@ -599,8 +600,8 @@ def viterbi_decode_windowed(graph: DenseGraph, levels, loglikes, num_frames,
         ll_win = jax.lax.dynamic_slice_in_dim(loglikes, lo, window, axis=1)
         bps = _window_forward_with_bp(
             arc_src, levels, arc_pdf, arc_score,
-            jnp.asarray(snaps[w]), ll_win, nf, jnp.int32(lo), acwt, beam_,
-            s, window, max_active)
+            jax.lax.index_in_dim(snaps, w, axis=0, keepdims=False),
+            ll_win, nf, jnp.int32(lo), acwt, beam_, s, window, max_active)
         arcs_w, cur_state = _window_backtrace(bps, arc_src_j, cur_state, nf,
                                               jnp.int32(lo + window))
         arc_window_chunks.append(np.asarray(arcs_w))

@@ -32,8 +32,8 @@ from pathlib import Path
 import numpy as np
 
 from .config import (DecodeOptions, DeltaOptions, FmllrDecodeOptions,
-                     LangOptions, LdaOptions, LmOptions, MfccOptions,
-                     MonoTrainOptions, SpliceOptions, TriTrainOptions)
+                     LangOptions, LmOptions, MfccOptions, MonoTrainOptions,
+                     TriTrainOptions)
 from .data.dict import prepare_dict as _prepare_dict, read_ref_dict
 from .data.lang import Lang, prepare_lang as _prepare_lang
 from .data.prepare import DataDir, prepare_data as _prepare_data

@@ -36,10 +36,7 @@ def segment_words(phones: list, words: list, lexicon: dict,
     doesn't match the transcript."""
     n = len(phones)
     # state: (phone position, word index, 0=may-take-sil | 1=must-take-word)
-    from functools import lru_cache
-
     import sys
-
     sys.setrecursionlimit(10000)
 
     memo: dict = {}

@@ -11,7 +11,6 @@ and the MBR output picks the highest-posterior word (or epsilon) per slot.
 from __future__ import annotations
 
 import math
-from collections import defaultdict
 
 
 def _align_to_network(network: list, hyp: list, weight: float):
