@@ -57,7 +57,7 @@ def main():
         num_pdfs=num_pdfs)
     num_states = len(alpha0)
 
-    b, t = 64, 1000  # 64 x 10s utterances per batch (throughput decoding)
+    b, t = 32, 1000  # 32 x 10s utterances per batch (throughput decoding)
     feats = jnp.asarray(rng.standard_normal((b, t, dim)), jnp.float32)
     num_frames = np.full((b,), t, np.int32)
 
@@ -77,29 +77,9 @@ def main():
             graph, levels, ll, num_frames,
             acoustic_scale=1.0 / 13.0, beam=200.0, window=50)
 
-    # forward-only throughput of the fused variant (for the perf log)
-    plan = V.build_fused_plan(graph)
-    fwd_args = (jnp.asarray(graph.alpha0), jnp.asarray(feats),
-                jnp.asarray(num_frames))
-
-    def fused_forward(alpha0, feats, nf):
-        ll = K.loglikes_batch(params, feats)
-        a, _ = V.viterbi_forward_shared_fused(
-            plan, alpha0, ll, nf, jnp.float32(1.0 / 13), jnp.float32(200.0),
-            num_states)
-        return a
-
     # warmup / compile
     out = decode_full(feats, num_frames)
     assert all(len(r["arcs"]) == t for r in out), "bench decode found no path"
-    jax.block_until_ready(fused_forward(*fwd_args))
-    start = time.perf_counter()
-    jax.block_until_ready(fused_forward(*fwd_args))
-    fused_wall = time.perf_counter() - start
-    import sys
-
-    print(f"# fused forward-only: {b * t * 0.01 / fused_wall:.1f} audio-s/s",
-          file=sys.stderr, flush=True)
 
     iters = 3
     start = time.perf_counter()

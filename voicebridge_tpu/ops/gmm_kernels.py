@@ -75,8 +75,10 @@ def loglikes(params: GmmParams, x: jnp.ndarray) -> jnp.ndarray:
     return jax.scipy.special.logsumexp(comp, axis=2)
 
 
+@jax.jit
 def loglikes_batch(params: GmmParams, feats: jnp.ndarray) -> jnp.ndarray:
-    """``[B, T, D] -> [B, T, P]``."""
+    """``[B, T, D] -> [B, T, P]`` (jitted: one fused program — eager op-by-op
+    dispatch is costly over remote-compile backends)."""
     b, t, d = feats.shape
     return loglikes(params, feats.reshape(b * t, d)).reshape(b, t, params.num_pdfs)
 

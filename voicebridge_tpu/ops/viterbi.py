@@ -531,38 +531,40 @@ def viterbi_decode_windowed(graph: DenseGraph, levels, loglikes, num_frames,
     beam_ = jnp.float32(beam)
 
     @functools.partial(jax.jit, static_argnames=())
-    def phase1(loglikes, nf):
-        def win_step(carry, ll_win):
-            alpha, alpha_at_end, t = carry
-            snapshot = alpha
+    def window_forward(alpha, at_end, ll_win, t0):
+        """One window of forward Viterbi (no backpointers).  One modest
+        compiled program invoked per window from Python — monolithic
+        full-utterance scans destabilize the remote TPU worker."""
 
-            def frame(c, ll_t):
-                al, at_end, tt = c
-                am = ll_t[:, arc_pdf] * acwt
-                score = al[:, arc_src] + arc_score[None, :] + am
-                na, _ = _relax_tree(score, levels)
-                na = _prune(na, beam_, max_active)
-                active = (tt < nf)[:, None]
-                al = jnp.where(active, na, al)
-                end = (tt + 1 == nf)[:, None]
-                at_end = jnp.where(end, al, at_end)
-                return (al, at_end, tt + 1), None
+        def frame(c, ll_t):
+            al, ae, tt = c
+            am = ll_t[:, arc_pdf] * acwt
+            score = al[:, arc_src] + arc_score[None, :] + am
+            na, _ = _relax_tree(score, levels)
+            na = _prune(na, beam_, max_active)
+            active = (tt < nf)[:, None]
+            al = jnp.where(active, na, al)
+            end = (tt + 1 == nf)[:, None]
+            ae = jnp.where(end, al, ae)
+            return (al, ae, tt + 1), None
 
-            (alpha, alpha_at_end, t), _ = jax.lax.scan(
-                frame, (alpha, alpha_at_end, t), jnp.swapaxes(ll_win, 0, 1))
-            return (alpha, alpha_at_end, t), snapshot
+        (al, ae, _), _ = jax.lax.scan(frame, (alpha, at_end, t0),
+                                      jnp.swapaxes(ll_win, 0, 1))
+        return al, ae
 
-        zero_end = jnp.where((nf == 0)[:, None], alpha0,
-                             jnp.full((b, s), NEG_INF))
-        (_, alpha_end, _), snaps = jax.lax.scan(
-            win_step, (alpha0, zero_end, jnp.int32(0)),
-            loglikes.reshape(b, nw, window, -1).swapaxes(0, 1))
-        return alpha_end, snaps  # snaps [NW, B, S]
-
-    alpha_end_dev, snaps = phase1(loglikes, nf)
-    # snaps stay DEVICE-RESIDENT ([NW, B, S] can be hundreds of MB; only the
-    # [B, S] alpha_end comes to the host for end-state selection)
-    alpha_end = np.asarray(alpha_end_dev)
+    # phase 1: forward pass, snapshot alpha at each window start (snapshots
+    # stay DEVICE-RESIDENT as a list of [B, S] arrays)
+    alpha = alpha0
+    at_end = jnp.where((nf == 0)[:, None], alpha0,
+                       jnp.full((b, s), NEG_INF))
+    snaps = []
+    for w in range(nw):
+        snaps.append(alpha)
+        ll_win = jax.lax.dynamic_slice_in_dim(loglikes, w * window, window,
+                                              axis=1)
+        alpha, at_end = window_forward(alpha, at_end, ll_win,
+                                       jnp.int32(w * window))
+    alpha_end = np.asarray(at_end)
     nf_np = np.asarray(num_frames)
 
     # choose end state per utterance
@@ -600,7 +602,7 @@ def viterbi_decode_windowed(graph: DenseGraph, levels, loglikes, num_frames,
         ll_win = jax.lax.dynamic_slice_in_dim(loglikes, lo, window, axis=1)
         bps = _window_forward_with_bp(
             arc_src, levels, arc_pdf, arc_score,
-            jax.lax.index_in_dim(snaps, w, axis=0, keepdims=False),
+            snaps[w],
             ll_win, nf, jnp.int32(lo), acwt, beam_, s, window, max_active)
         arcs_w, cur_state = _window_backtrace(bps, arc_src_j, cur_state, nf,
                                               jnp.int32(lo + window))
