@@ -5,13 +5,21 @@ Baseline (BASELINE.md north star): >= 100x real-time decode per v5e chip, so
 vs_baseline = value / 100.
 
 Workload: the decode hot path at LibriSpeech-like scale — batched diagonal-GMM
-log-likelihoods (10k Gaussians, 39-dim, the DELTA+SAT model size) + the
-arc-parallel Viterbi scan over an HCLG-scale graph (generated synthetically at
-a representative state/arc count until the full LibriSpeech pipeline lands in
-a later round).  10ms frame shift => 1 frame = 0.01 audio seconds.
+log-likelihoods (10k Gaussians, 39-dim, the DELTA+SAT model size) + the full
+windowed Viterbi decode (forward + backpointer recovery + backtrace) over an
+HCLG-scale synthetic graph (60k states / 480k arcs).  10ms frame shift =>
+1 frame = 0.01 audio seconds.
+
+Robustness: the remote TPU worker in this environment sometimes wedges or
+crashes on large programs; each configuration runs in a subprocess under a
+timeout, falling back to smaller configurations so a result is always
+produced.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -36,7 +44,8 @@ def synth_decode_graph(num_states=60_000, arcs_per_state=8, num_pdfs=2000, seed=
     return arc_src, arc_dst, arc_pdf, arc_score, alpha0
 
 
-def main():
+def run_config(num_states: int, b: int, t: int, window: int):
+    """Runs inside the subprocess: full decode, prints one JSON line."""
     import jax
     import jax.numpy as jnp
 
@@ -52,15 +61,8 @@ def main():
         np.full((num_pdfs, max_mix), 1.0 / max_mix, np.float32),
     )
     params = K.pack_gmm(am)
-
     arc_src, arc_dst, arc_pdf, arc_score, alpha0 = synth_decode_graph(
-        num_pdfs=num_pdfs)
-    num_states = len(alpha0)
-
-    b, t = 32, 1000  # 32 x 10s utterances per batch (throughput decoding)
-    feats = jnp.asarray(rng.standard_normal((b, t, dim)), jnp.float32)
-    num_frames = np.full((b,), t, np.int32)
-
+        num_states=num_states, num_pdfs=num_pdfs)
     levels = tuple(jnp.asarray(l) for l in
                    V.build_reduction_plan(arc_dst, num_states, k=8).levels)
     graph = V.DenseGraph(
@@ -70,31 +72,67 @@ def main():
         alpha0=alpha0, start_oseq=np.zeros(num_states, np.int32),
         final_score=np.zeros(num_states, np.float32),
         final_oseq=np.zeros(num_states, np.int32), oseqs=[()])
+    feats = jnp.asarray(rng.standard_normal((b, t, dim)), jnp.float32)
+    num_frames = np.full((b,), t, np.int32)
 
-    def decode_full(feats, num_frames):
+    def decode_full():
         ll = K.loglikes_batch(params, feats)
         return V.viterbi_decode_windowed(
             graph, levels, ll, num_frames,
-            acoustic_scale=1.0 / 13.0, beam=200.0, window=50)
+            acoustic_scale=1.0 / 13.0, beam=200.0, window=window)
 
-    # warmup / compile
-    out = decode_full(feats, num_frames)
-    assert all(len(r["arcs"]) == t for r in out), "bench decode found no path"
-
-    iters = 3
+    out = decode_full()  # compile + run
+    assert all(len(r["arcs"]) == t for r in out), "no path found"
+    iters = 2
     start = time.perf_counter()
     for _ in range(iters):
-        out = decode_full(feats, num_frames)
+        out = decode_full()
     wall = (time.perf_counter() - start) / iters
-
-    audio_seconds = b * t * 0.01
-    value = audio_seconds / wall
+    value = b * t * 0.01 / wall
     print(json.dumps({
         "metric": "decode_audio_seconds_per_sec_1chip",
         "value": round(value, 2),
         "unit": "audio-s/s",
         "vs_baseline": round(value / 100.0, 3),
-    }))
+        "config": {"num_states": num_states, "batch": b, "frames": t},
+    }), flush=True)
+
+
+CONFIGS = [
+    # (num_states, batch, frames, window, timeout_s)
+    (60_000, 32, 1000, 50, 1500),
+    (60_000, 16, 500, 50, 900),
+    (20_000, 8, 200, 50, 600),
+    (6_000, 8, 100, 50, 600),
+]
+
+
+def main():
+    if os.environ.get("VB_BENCH_CHILD"):
+        i = int(os.environ["VB_BENCH_CHILD"]) - 1
+        s, b, t, w, _to = CONFIGS[i]
+        run_config(s, b, t, w)
+        return
+    for i, (s, b, t, w, to) in enumerate(CONFIGS, start=1):
+        env = dict(os.environ, VB_BENCH_CHILD=str(i))
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-u", os.path.abspath(__file__)],
+                env=env, timeout=to, capture_output=True, text=True)
+        except subprocess.TimeoutExpired:
+            print(f"# config {i} timed out, falling back", file=sys.stderr)
+            continue
+        for line in proc.stdout.splitlines():
+            if line.startswith("{"):
+                print(line, flush=True)
+                return
+        print(f"# config {i} failed rc={proc.returncode}: "
+              f"{proc.stderr.strip().splitlines()[-1] if proc.stderr.strip() else ''}",
+              file=sys.stderr)
+    # all configs failed: emit a zero result rather than nothing
+    print(json.dumps({"metric": "decode_audio_seconds_per_sec_1chip",
+                      "value": 0.0, "unit": "audio-s/s", "vs_baseline": 0.0,
+                      "error": "all bench configs failed on this worker"}))
 
 
 if __name__ == "__main__":

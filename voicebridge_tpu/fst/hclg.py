@@ -71,14 +71,15 @@ def compile_lg(lang: Lang, g: Fst) -> Fst:
 def compile_hclg_from_lg(lg: Fst, lang: Lang, tree, trans_model: TransitionModel,
                          transition_scale: float = 1.0,
                          self_loop_scale: float = 0.1,
-                         minimize: bool = True) -> Fst:
+                         minimize: bool = True,
+                         piece_cache: dict | None = None) -> Fst:
     n, p = _context_params(tree)
     phones = set(lang.phone_ids)
     disambig = set(lang.disambig_ids)
     clg, ilabel_info = compose_context(lg, phones, disambig, n, p)
     clg.arcsort("ilabel")
     ha, disambig_tids = make_h_transducer(ilabel_info, tree, trans_model,
-                                          transition_scale)
+                                          transition_scale, piece_cache)
     hclga = compose(ha, clg)
     hclga = determinize_star(hclga)
     remove_input_symbols(hclga, set(disambig_tids))
@@ -120,6 +121,7 @@ class TrainingGraphCompiler:
         self.transition_scale = transition_scale
         self.self_loop_scale = self_loop_scale
         self._ld = lang.L_disambig.copy().arcsort("olabel")
+        self._piece_cache: dict = {}  # shared HMM pieces across utterances
 
     def compile(self, word_ids: list[int]) -> Fst:
         g = linear_fst(word_ids)
@@ -128,7 +130,8 @@ class TrainingGraphCompiler:
         lg.arcsort("ilabel")
         return compile_hclg_from_lg(
             lg, self.lang, self.tree, self.trans_model,
-            self.transition_scale, self.self_loop_scale, minimize=True)
+            self.transition_scale, self.self_loop_scale, minimize=True,
+            piece_cache=self._piece_cache)
 
     def compile_batch(self, transcripts: list[list[int]]) -> list[Fst]:
         return [self.compile(t) for t in transcripts]

@@ -61,11 +61,13 @@ def make_hmm_piece(phone_window: tuple, tree, trans_model: TransitionModel,
 
 
 def make_h_transducer(ilabel_info: list, tree, trans_model: TransitionModel,
-                      transition_scale: float = 1.0) -> tuple[Fst, list[int]]:
+                      transition_scale: float = 1.0,
+                      piece_cache: dict | None = None) -> tuple[Fst, list[int]]:
     """Ha: input transition-ids (+ left disambig symbols), output = indices
     into ``ilabel_info`` (= CLG input labels).  Loop FST: start state is final;
     each entry's piece hangs off it with the ilabel-info index emitted on the
-    entering arc (GetHTransducer + MakeLoopFst)."""
+    entering arc (GetHTransducer + MakeLoopFst).  ``piece_cache`` can be
+    shared across utterances (HmmCacheType role, hmm-utils.cc:244)."""
     h = Fst()
     loop = h.add_state()
     h.set_start(loop)
@@ -73,7 +75,8 @@ def make_h_transducer(ilabel_info: list, tree, trans_model: TransitionModel,
     first_disambig = trans_model.num_transition_ids + 1
     next_disambig = first_disambig
     disambig_tids: list[int] = []
-    piece_cache: dict[tuple, Fst] = {}
+    if piece_cache is None:
+        piece_cache = {}
 
     for j in range(1, len(ilabel_info)):
         entry = tuple(ilabel_info[j])
