@@ -451,6 +451,133 @@ def viterbi_forward_batched(arc_src, levels, arc_pdf, arc_score, alpha0,
 
 
 # ---------------------------------------------------------------------------
+# N-best Viterbi (per-state K-hypothesis lists)
+# ---------------------------------------------------------------------------
+
+
+def _nbest_reduce(cand: jnp.ndarray, prov_arc: jnp.ndarray, prov_slot: jnp.ndarray,
+                  levels: tuple, nbest: int):
+    """cand [A, K] candidate scores (per arc, per source slot) with provenance
+    -> per-state top-K: (scores [S, K], arc [S, K], slot [S, K]).
+
+    Reuses the destination-grouped reduction tree: each level gathers child
+    rows' K-lists, flattens, and takes the top K.
+    """
+    v = cand  # [R, K]
+    pa, ps = prov_arc, prov_slot
+    for idx in levels:
+        safe = jnp.maximum(idx, 0)
+        g = jnp.where(idx[..., None] >= 0, v[safe], NEG_INF)  # [R, Kin, K]
+        ga = jnp.where(idx[..., None] >= 0, pa[safe], -1)
+        gs = jnp.where(idx[..., None] >= 0, ps[safe], 0)
+        r, kin, k = g.shape
+        flat = g.reshape(r, kin * k)
+        vals, top = jax.lax.top_k(flat, nbest)  # [R, nbest]
+        v = vals
+        pa = jnp.take_along_axis(ga.reshape(r, kin * k), top, axis=1)
+        ps = jnp.take_along_axis(gs.reshape(r, kin * k), top, axis=1)
+    return v, pa, ps
+
+
+@functools.partial(jax.jit, static_argnames=("num_states", "nbest"))
+def viterbi_nbest_forward(arc_src, levels, arc_pdf, arc_score, alpha0,
+                          loglikes, num_frames, acoustic_scale, beam,
+                          num_states: int, nbest: int):
+    """Exact N-best Viterbi over a shared graph: every state carries its K
+    best partial-path scores (the role of lattice N-best,
+    ``lattice-nbest``/``nshortest``).
+
+    loglikes [B, T, P].  Returns (alpha_end [B, S, K],
+    bp_arc [T, B, S, K] int32, bp_slot [T, B, S, K] int8) — full backpointer
+    storage; use moderate sizes (N-best is a rescoring-scale operation).
+    """
+    b = loglikes.shape[0]
+    a = arc_src.shape[0]
+
+    def one_step(alpha, ll_t):
+        # candidates per arc per slot
+        am = ll_t[arc_pdf] * acoustic_scale  # [A]
+        cand = alpha[arc_src] + (arc_score + am)[:, None]  # [A, K]
+        prov_arc = jnp.broadcast_to(
+            jnp.arange(a, dtype=jnp.int32)[:, None], (a, nbest))
+        prov_slot = jnp.broadcast_to(
+            jnp.arange(nbest, dtype=jnp.int8)[None, :], (a, nbest))
+        scores, pa, ps = _nbest_reduce(cand, prov_arc, prov_slot, levels, nbest)
+        best = jnp.max(scores)
+        scores = jnp.where(scores >= best - beam, scores, NEG_INF)
+        return scores, pa, ps
+
+    def step(carry, inp):
+        alpha, alpha_at_end, t = carry  # [B, S, K]
+        ll_t = inp  # [B, P]
+        scores, pa, ps = jax.vmap(one_step)(alpha, ll_t)
+        active = (t < num_frames)[:, None, None]
+        alpha = jnp.where(active, scores, alpha)
+        at_end = (t + 1 == num_frames)[:, None, None]
+        alpha_at_end = jnp.where(at_end, alpha, alpha_at_end)
+        return (alpha, alpha_at_end, t + 1), (pa, ps)
+
+    alpha_init = jnp.full((b, num_states, nbest), NEG_INF)
+    alpha_init = alpha_init.at[:, :, 0].set(
+        jnp.broadcast_to(alpha0[None, :], (b, num_states)))
+    zero_end = jnp.where((num_frames == 0)[:, None, None], alpha_init,
+                         jnp.full_like(alpha_init, NEG_INF))
+    (_, alpha_end, _), (bp_arc, bp_slot) = jax.lax.scan(
+        step, (alpha_init, zero_end, jnp.int32(0)),
+        jnp.swapaxes(loglikes, 0, 1))
+    return alpha_end, bp_arc, bp_slot
+
+
+def backtrace_nbest(graph: DenseGraph, alpha_end, bp_arc, bp_slot, num_frames,
+                    nbest: int):
+    """-> per utterance: list of up to ``nbest`` dicts (words, tids, score)."""
+    alpha_end = np.asarray(alpha_end)
+    bp_arc = np.asarray(bp_arc)
+    bp_slot = np.asarray(bp_slot)
+    b = alpha_end.shape[0]
+    out = []
+    for i in range(b):
+        t_end = int(num_frames[i])
+        total = alpha_end[i] + graph.final_score[:, None]  # [S, K]
+        flat = total.reshape(-1)
+        order = np.argsort(-flat)[: nbest * 4]
+        hyps = []
+        seen = set()
+        for fidx in order:
+            if flat[fidx] <= NEG_INF / 2 or len(hyps) >= nbest:
+                break
+            s, k = divmod(int(fidx), alpha_end.shape[2])
+            score = float(flat[fidx])
+            arcs = []
+            si, ki = s, k
+            ok = True
+            for t in range(t_end - 1, -1, -1):
+                a = int(bp_arc[t, i, si, ki])
+                if a < 0:
+                    ok = False
+                    break
+                ki = int(bp_slot[t, i, si, ki])
+                arcs.append(a)
+                si = int(graph.arc_src[a])
+            if not ok:
+                continue
+            arcs.reverse()
+            words = list(graph.oseqs[graph.start_oseq[si]])
+            for a in arcs:
+                words.extend(graph.oseqs[graph.arc_oseq[a]])
+            words.extend(graph.oseqs[graph.final_oseq[s]])
+            key = tuple(arcs)
+            if key in seen:
+                continue
+            seen.add(key)
+            hyps.append({"words": words, "score": score,
+                         "tids": [int(graph.arc_tid[a]) for a in arcs],
+                         "arcs": arcs})
+        out.append(hyps)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Host-side backtrace
 # ---------------------------------------------------------------------------
 

@@ -75,3 +75,36 @@ class Decoder:
         return {w: self.decode_batch(utts, feats, num_frames,
                                      acoustic_scale=1.0 / w)
                 for w in lmwts}
+
+    def decode_nbest(self, utts: list[str], feats: np.ndarray,
+                     num_frames: np.ndarray, nbest: int = 4,
+                     acoustic_scale: float | None = None) -> dict:
+        """Exact N-best decoding (lattice-nbest role): utt -> list of
+        (words, score) hypotheses.  Full backpointers are stored, so use
+        rescoring-scale batches."""
+        acwt = self.opts.acoustic_scale if acoustic_scale is None else acoustic_scale
+        g = self.graph
+        ll = K.loglikes_batch(self.params, jnp.asarray(feats))
+        alpha_end, bpa, bps = V.viterbi_nbest_forward(
+            jnp.asarray(g.arc_src), self.levels, jnp.asarray(g.arc_pdf),
+            jnp.asarray(g.arc_score), jnp.asarray(g.alpha0), ll,
+            jnp.asarray(num_frames), np.float32(acwt),
+            np.float32(self.opts.beam), g.num_states, nbest)
+        hyps = V.backtrace_nbest(g, alpha_end, bpa, bps,
+                                 np.asarray(num_frames), nbest)
+        return {u: [(h["words"], h["score"]) for h in hs]
+                for u, hs in zip(utts, hyps)}
+
+    def decode_mbr(self, utts: list[str], feats: np.ndarray,
+                   num_frames: np.ndarray, nbest: int = 4) -> list[DecodeResult]:
+        """MBR consensus decoding from N-best hypotheses
+        (lattice-mbr-decode role)."""
+        from .mbr import mbr_decode
+
+        nb = self.decode_nbest(utts, feats, num_frames, nbest)
+        out = []
+        for u in utts:
+            words, _conf = mbr_decode(nb[u])
+            score = nb[u][0][1] if nb[u] else -np.inf
+            out.append(DecodeResult(u, words, score))
+        return out
