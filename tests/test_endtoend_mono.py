@@ -98,6 +98,24 @@ class TestEndToEnd:
         print("sweep best:", res.best_wer, "at lmwt", res.best_lmwt)
         assert res.best_wer.wer <= 5.0
 
+    def test_nbest_and_mbr(self, pipeline):
+        model, lang = pipeline["model"], pipeline["lang"]
+        dec = Decoder(pipeline["hclg"], model.trans_model, model.am,
+                      DecodeOptions(beam=1e9))
+        utts, feats, nf = _batch(pipeline["test_feats"])
+        refs = {u: list(pipeline["test"][u][1]) for u in utts}
+        nb = dec.decode_nbest(utts[:4], feats[:4], nf[:4], nbest=3)
+        for u in utts[:4]:
+            assert nb[u], f"no n-best hypotheses for {u}"
+            scores = [s for _w, s in nb[u]]
+            assert scores == sorted(scores, reverse=True)
+        results = dec.decode_mbr(utts[:4], feats[:4], nf[:4], nbest=3)
+        id2w = lang.words.sym
+        hyps = {r.utt: [id2w(w) for w in r.words] for r in results}
+        stats = compute_wer_set({u: refs[u] for u in utts[:4]}, hyps)
+        print("mbr:", stats)
+        assert stats.wer <= 10.0
+
     def test_train_set_memorized(self, pipeline):
         # decoding the training set should be near-perfect
         model, lang = pipeline["model"], pipeline["lang"]

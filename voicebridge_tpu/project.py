@@ -340,6 +340,40 @@ class Project:
         log.info("decode: best %s at LMWT %d", result.best_wer, result.best_lmwt)
         return result
 
+    def decode_mbr(self, model: TrainedModel, hclg: Fst,
+                   feat_kind: str = "delta", nbest: int = 4,
+                   opts: DecodeOptions | None = None) -> SweepResult:
+        """MBR consensus decoding of the test set (ScoreKaldiWER MBR mode)."""
+        opts = opts or DecodeOptions()
+        test_feats = self.feats("test", feat_kind)
+        utts, feats, nf = self._test_batch(test_feats)
+        dec = Decoder(hclg, model.trans_model, model.am, opts)
+        results = dec.decode_mbr(utts, feats, nf, nbest=nbest)
+        refs = {u: list(self.test_data.text[u]) for u in utts}
+        hyps = {r.utt: [self.lang.words.sym(x) for x in r.words]
+                for r in results}
+        stats = compute_wer_set(refs, hyps)
+        out = SweepResult(best_wer=stats,
+                          best_lmwt=int(1 / opts.acoustic_scale))
+        out.table[(out.best_lmwt, 0.0)] = stats
+        log.info("decode_mbr: %s", stats)
+        return out
+
+    def train_full_chain(self, mono_opts: MonoTrainOptions | None = None,
+                         tri_opts: TriTrainOptions | None = None) -> dict:
+        """The reference's TestLibriSpeech sequence as one call:
+        mono -> tri1 (deltas) -> tri2b (LDA+MLLT) -> tri3b (DELTA+SAT).
+        Returns {'mono','tri1','tri2b','tri3b','final_mat'} models."""
+        mono = self.train_mono(mono_opts, name="mono")
+        ali = self.align(mono)
+        tri1 = self.train_tri(mono, ali, tri_opts, name="tri1")
+        ali1 = self.align(tri1)
+        tri2b, final_mat = self.train_lda_mllt(tri1, ali1, tri_opts,
+                                               name="tri2b")
+        tri3b = self.train_sat(tri1, ali1, tri_opts, name="tri3b")
+        return {"mono": mono, "tri1": tri1, "tri2b": tri2b,
+                "final_mat": final_mat, "tri3b": tri3b}
+
     def decode_fmllr(self, sat: SatModel, hclg: Fst,
                      opts: FmllrDecodeOptions | None = None) -> SweepResult:
         opts = opts or FmllrDecodeOptions()
