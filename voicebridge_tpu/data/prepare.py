@@ -29,9 +29,10 @@ log = get_logger()
 class DataDir:
     """In-memory equivalent of a Kaldi data directory."""
 
-    wav_paths: dict = field(default_factory=dict)  # utt -> wav path
+    wav_paths: dict = field(default_factory=dict)  # utt -> wav path (or recording id via segments)
     text: dict = field(default_factory=dict)  # utt -> list[str] words
     utt2spk: dict = field(default_factory=dict)
+    segments: dict = field(default_factory=dict)  # utt -> (start_s, end_s); empty = whole file
 
     @property
     def utts(self) -> list:
@@ -46,6 +47,7 @@ class DataDir:
             {u: p for u, p in self.wav_paths.items() if u in keep},
             {u: t for u, t in self.text.items() if u in keep},
             {u: s for u, s in self.utt2spk.items() if u in keep},
+            {u: s for u, s in self.segments.items() if u in keep},
         )
 
     def save(self, path: str | Path) -> None:
@@ -71,6 +73,23 @@ class DataDir:
             if not self.text[u]:
                 problems.append(f"empty transcription for {u}")
         return problems
+
+
+def load_waves(data: DataDir, expected_rate: float | None = None) -> dict:
+    """Read every utterance's samples, applying ``segments`` windows
+    (extract-segments role) and optional resampling to ``expected_rate``."""
+    from ..utils.wave import extract_segment, read_wave, resample
+
+    out = {}
+    for u in data.utts:
+        rate, samples = read_wave(data.wav_paths[u])
+        if u in data.segments:
+            start, end = data.segments[u]
+            samples = extract_segment(samples, rate, start, end)
+        if expected_rate and rate != expected_rate:
+            samples = resample(samples, rate, expected_rate)
+        out[u] = samples
+    return out
 
 
 def fix_data_dir(data: DataDir) -> tuple[DataDir, list]:

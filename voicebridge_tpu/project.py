@@ -53,7 +53,6 @@ from .steps.train_mono import TrainedModel, train_mono as _train_mono
 from .steps.train_sat import SatModel, train_sat as _train_sat
 from .steps.train_tri import train_tri as _train_tri
 from .utils.logging import get_logger, init_twin_log
-from .utils.wave import read_wave
 
 log = get_logger()
 
@@ -192,10 +191,10 @@ class Project:
                 arc = ArrayArchive(arc_path)
                 self._feats[split] = {u: arc[u] for u in arc.keys()}
                 continue
-            waves = {}
-            for u in data.utts:
-                rate, samples = read_wave(data.wav_paths[u])
-                waves[u] = samples
+            from .data.prepare import load_waves
+
+            waves = load_waves(data,
+                               expected_rate=mfcc_opts.frame_opts.samp_freq)
             mfcc = compute_mfcc(waves, mfcc_opts)
             cmvn = compute_cmvn(mfcc, data.utt2spk)
             feats = apply_feature_chain(mfcc, data.utt2spk, cmvn, deltas=None)
