@@ -106,15 +106,61 @@ def estimate_fmllr(beta: float, k: np.ndarray, g: np.ndarray,
 
 
 def estimate_fmllr_batch(beta: np.ndarray, k: np.ndarray, g: np.ndarray,
-                         min_count: float = 500.0):
-    """All speakers: returns (transforms [S, D, D+1], impr list)."""
-    out = []
-    imprs = []
-    for s in range(len(beta)):
-        w, impr = estimate_fmllr(float(beta[s]), k[s], g[s], min_count=min_count)
-        out.append(w)
-        imprs.append(impr)
-    return np.stack(out), imprs
+                         min_count: float = 500.0, num_iters: int = 20):
+    """All speakers at once, vectorized over the speaker axis (the
+    reference's per-speaker job loop becomes batched [S, D, ...] linear
+    algebra).  Returns (transforms [S, D, D+1], impr list).  Speakers below
+    ``min_count`` keep the identity transform."""
+    s_num, d = k.shape[0], k.shape[1]
+    ident = np.concatenate([np.eye(d), np.zeros((d, 1))], axis=1)
+    if s_num == 0:
+        return np.zeros((0, d, d + 1), np.float32), []
+    beta = beta.astype(np.float64)
+    k = k.astype(np.float64)
+    g = g.astype(np.float64)
+    active = beta >= min_count
+    w = np.broadcast_to(ident, (s_num, d, d + 1)).copy()
+    if not active.any():
+        return w.astype(np.float32), [0.0] * s_num
+
+    # regularized per-row G inverses: [S, D, D+1, D+1]
+    tr = np.einsum("sdii->sd", g) / (d + 1)
+    reg = 1e-5 * np.maximum(tr, 1e-10)[:, :, None, None] * np.eye(d + 1)
+    ginv = np.linalg.inv(g + reg)
+    gk = np.einsum("sdef,sdf->sde", ginv, k)  # [S, D, D+1]
+
+    def objf(ww):
+        a = ww[:, :, :d]
+        sign, logdet = np.linalg.slogdet(a)
+        quad = np.einsum("sde,sde->s", ww, k) \
+            - 0.5 * np.einsum("sde,sdef,sdf->s", ww, g, ww)
+        val = beta * np.where(sign > 0, logdet, -np.inf) + quad
+        return np.where(active, val, 0.0)
+
+    start = objf(w)
+    prev = start
+    for _ in range(num_iters):
+        for i in range(d):
+            a = w[:, :, :d]  # [S, D, D]
+            inv_t = np.linalg.inv(a).transpose(0, 2, 1)
+            cof = np.linalg.det(a)[:, None] * inv_t[:, i]  # [S, D]
+            chat = np.concatenate([cof, np.zeros((s_num, 1))], axis=1)
+            gc = np.einsum("sef,sf->se", ginv[:, i], chat)  # [S, D+1]
+            c1 = np.einsum("se,se->s", chat, gc)
+            c2 = np.einsum("se,se->s", chat, gk[:, i])
+            ok = active & (c1 > 0)
+            disc = np.maximum(c2 * c2 + 4.0 * beta * c1, 0.0)
+            step = (-c2 + np.sqrt(disc)) / np.maximum(2.0 * c1, 1e-20)
+            new_row = gk[:, i] + step[:, None] * gc
+            w[:, i] = np.where(ok[:, None], new_row, w[:, i])
+        cur = objf(w)
+        if np.all(cur - prev < 1e-6 * np.maximum(np.abs(prev), 1.0)):
+            prev = cur
+            break
+        prev = cur
+    imprs = [float((prev[s] - start[s]) / max(beta[s], 1.0)) if active[s] else 0.0
+             for s in range(s_num)]
+    return w.astype(np.float32), imprs
 
 
 def apply_fmllr_batch(feats: jnp.ndarray, transforms: np.ndarray,
