@@ -116,8 +116,18 @@ def make_features(waves: dict[str, np.ndarray], utt2spk: dict[str, str],
                   mfcc_opts: MfccOptions,
                   deltas: DeltaOptions | None = DeltaOptions(),
                   splice: SpliceOptions | None = None,
-                  dither_seed: int | None = 0) -> dict[str, np.ndarray]:
-    """Full frontend: MFCC -> per-speaker CMVN -> deltas/splice."""
+                  dither_seed: int | None = 0,
+                  pitch: bool = False) -> dict[str, np.ndarray]:
+    """Full frontend: MFCC [+pitch] -> per-speaker CMVN -> deltas/splice.
+    ``pitch=True`` pastes the 3-dim pitch features (MakeMfccPitch role)."""
     mfcc = compute_mfcc(waves, mfcc_opts, dither_seed)
+    if pitch:
+        from ..ops.pitch import PitchOptions, compute_pitch_feats, paste_feats
+
+        popts = PitchOptions(samp_freq=mfcc_opts.frame_opts.samp_freq,
+                             frame_shift_ms=mfcc_opts.frame_opts.frame_shift_ms,
+                             frame_length_ms=mfcc_opts.frame_opts.frame_length_ms)
+        mfcc = {u: paste_feats(f, compute_pitch_feats(waves[u], popts))
+                for u, f in mfcc.items()}
     cmvn = compute_cmvn(mfcc, utt2spk)
     return apply_feature_chain(mfcc, utt2spk, cmvn, deltas, splice)

@@ -53,56 +53,13 @@ def acc_fmllr_stats(params: GmmParams, means: jnp.ndarray, inv_vars: jnp.ndarray
 
 def estimate_fmllr(beta: float, k: np.ndarray, g: np.ndarray,
                    num_iters: int = 20, min_count: float = 500.0):
-    """Solve one speaker's transform.  Returns (W [D, D+1], objf impr/frame)
-    or (identity, 0.0) when below min_count (reference --fmllr-min-count)."""
-    d = k.shape[0]
-    ident = np.concatenate([np.eye(d), np.zeros((d, 1))], axis=1).astype(np.float32)
-    if beta < min_count:
-        return ident, 0.0
-    k = k.astype(np.float64)
-    g = g.astype(np.float64)
-    w = ident.astype(np.float64).copy()
-    ginv = np.stack([
-        np.linalg.inv(g[i] + 1e-5 * np.eye(d + 1) * max(np.trace(g[i]) / (d + 1), 1e-10))
-        for i in range(d)])
-
-    def objf(ww):
-        a = ww[:, :d]
-        sign, logdet = np.linalg.slogdet(a)
-        if sign <= 0:
-            return -np.inf
-        val = beta * logdet
-        for i in range(d):
-            val += ww[i] @ k[i] - 0.5 * ww[i] @ g[i] @ ww[i]
-        return val
-
-    start = objf(w)
-    prev = start
-    for _ in range(num_iters):
-        for i in range(d):
-            a = w[:, :d]
-            inv_t = np.linalg.inv(a).T
-            cof = np.linalg.det(a) * inv_t[i]  # cofactor row of A
-            chat = np.concatenate([cof, [0.0]])
-            # maximize beta log|a_i . cof| + w_i k_i - 0.5 w_i G_i w_i^T
-            gk = ginv[i] @ (k[i])
-            gc = ginv[i] @ chat
-            # solve quadratic for step along gc (Kaldi FmllrInnerUpdate)
-            c1 = chat @ gc
-            if c1 <= 0:
-                continue
-            c2 = chat @ gk
-            # f(s) = beta log|s c1 + c2| - 0.5 s^2 c1 - s c2 + const
-            # optimum: s = (-c2 +/- sqrt(c2^2 + 4 beta c1)) / (2 c1); pick +
-            disc = c2 * c2 + 4.0 * beta * c1
-            s = (-c2 + np.sqrt(max(disc, 0.0))) / (2.0 * c1)
-            w[i] = gk + s * gc
-        cur = objf(w)
-        if cur - prev < 1e-6 * max(abs(prev), 1.0):
-            prev = cur
-            break
-        prev = cur
-    return w.astype(np.float32), float((prev - start) / max(beta, 1.0))
+    """Solve one speaker's transform (row-wise quadratic maximization with
+    cofactors — FmllrInnerUpdate).  Returns (W [D, D+1], objf impr/frame) or
+    (identity, 0.0) when below min_count (reference --fmllr-min-count).
+    Thin wrapper over the speaker-batched solver."""
+    w, imprs = estimate_fmllr_batch(np.asarray([beta]), k[None], g[None],
+                                    min_count=min_count, num_iters=num_iters)
+    return w[0], imprs[0]
 
 
 def estimate_fmllr_batch(beta: np.ndarray, k: np.ndarray, g: np.ndarray,
