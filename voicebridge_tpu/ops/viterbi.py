@@ -733,9 +733,10 @@ def viterbi_decode_windowed(graph: DenseGraph, levels, loglikes, num_frames,
             ll_win, nf, jnp.int32(lo), acwt, beam_, s, window, max_active)
         arcs_w, cur_state = _window_backtrace(bps, arc_src_j, cur_state, nf,
                                               jnp.int32(lo + window))
-        arc_window_chunks.append(np.asarray(arcs_w))
-    # stitch windows (they were collected high-to-low)
-    all_arcs = np.concatenate(arc_window_chunks[::-1], axis=0)  # [T_pad, B]
+        arc_window_chunks.append(arcs_w)  # device array; fetch once at the end
+    # stitch windows (collected high-to-low) on device, then ONE host fetch —
+    # a per-window np.asarray would synchronize the stream every iteration
+    all_arcs = np.asarray(jnp.concatenate(arc_window_chunks[::-1], axis=0))
 
     out = []
     for i in range(b):
