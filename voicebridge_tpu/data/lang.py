@@ -19,7 +19,7 @@ from pathlib import Path
 from ..config import LangOptions
 from ..fst.core import Fst
 from ..fst.lexicon import (add_lex_disambig, add_word_disambig_selfloops,
-                           make_lexicon_fst)
+                           make_lexicon_fst, make_lexicon_fst_silprob)
 from ..models.topology import HmmTopology, generate_topology
 from ..utils.text import SymbolTable
 
@@ -137,13 +137,18 @@ def _positionize(pron: tuple[str, ...]) -> tuple[str, ...]:
 
 
 def prepare_lang(lexicon: dict[str, list[tuple]], silence_phones: list[str],
-                 optional_silence: str, opts: LangOptions = LangOptions()) -> Lang:
+                 optional_silence: str, opts: LangOptions = LangOptions(),
+                 silprobs: dict | None = None) -> Lang:
     """Build a Lang from a pronunciation lexicon.
 
     ``lexicon``: word -> list of (prob, phones tuple) pronunciations (base
     phone names, no positional suffixes).  ``silence_phones`` must include
     ``optional_silence``; the OOV word gets a pronunciation of the optional
     silence phone if absent (like the reference's default dict handling).
+
+    ``silprobs``: optional silence-probability parameters (silprob.txt role;
+    see fst/lexicon.py silprobs_from_stats) — switches L/L_disambig to the
+    word-dependent silence model (prepare_lang.cpp silprob branch :1374).
     """
     if optional_silence not in silence_phones:
         raise ValueError("optional_silence must be among silence_phones")
@@ -226,10 +231,17 @@ def prepare_lang(lexicon: dict[str, list[tuple]], silence_phones: list[str],
 
     # --- L and L_disambig ----------------------------------------------------
     plain_lex = [(w, p, pron, 0) for (w, p, pron) in entries]
-    L = make_lexicon_fst(plain_lex, phones.id, words.id, opts.sil_prob,
-                         optional_silence, sil_disambig=None)
-    Ld = make_lexicon_fst(disambig_lex, phones.id, words.id, opts.sil_prob,
-                          optional_silence, sil_disambig=sil_disambig)
+    if silprobs is not None:
+        L = make_lexicon_fst_silprob(plain_lex, phones.id, words.id, silprobs,
+                                     optional_silence, sil_disambig=None)
+        Ld = make_lexicon_fst_silprob(disambig_lex, phones.id, words.id,
+                                      silprobs, optional_silence,
+                                      sil_disambig=sil_disambig)
+    else:
+        L = make_lexicon_fst(plain_lex, phones.id, words.id, opts.sil_prob,
+                             optional_silence, sil_disambig=None)
+        Ld = make_lexicon_fst(disambig_lex, phones.id, words.id, opts.sil_prob,
+                              optional_silence, sil_disambig=sil_disambig)
     add_word_disambig_selfloops(Ld, phones.id("#0"), word_disambig_id)
 
     return Lang(
