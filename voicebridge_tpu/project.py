@@ -321,8 +321,12 @@ class Project:
 
     def decode(self, model: TrainedModel, hclg: Fst, feat_kind: str = "delta",
                final_mat: np.ndarray | None = None,
-               opts: DecodeOptions | None = None) -> SweepResult:
-        """Decode the test set with an LMWT sweep; returns the best WER."""
+               opts: DecodeOptions | None = None,
+               out_name: str | None = None) -> SweepResult:
+        """Decode the test set with an LMWT sweep; returns the best WER.
+        With ``out_name``, writes the decode artifacts (transcriptions, WER
+        tables, per-utterance details) under exp/<out_name>/decode/ like the
+        reference's decode directory."""
         opts = opts or DecodeOptions()
         if final_mat is not None:
             test_feats = lda_decode_feats(self.feats("test", "cmvn"), final_mat)
@@ -337,7 +341,34 @@ class Project:
                        for r in rs} for w, rs in sweep.items()}
         result = score_sweep(refs, hyps_by, opts.word_ins_penalties)
         log.info("decode: best %s at LMWT %d", result.best_wer, result.best_lmwt)
+        if out_name:
+            self._save_decode_artifacts(out_name, refs,
+                                        hyps_by[result.best_lmwt], result)
         return result
+
+    def _save_decode_artifacts(self, name: str, refs: dict, hyps: dict,
+                               result: SweepResult) -> None:
+        """Write transcription/WER artifacts (decode_gmm.cpp:357-376 +
+        score_kaldi_wer outputs + wer_per_utt_details)."""
+        from .steps.score import per_utt_details, wer_bootstrap_ci
+        from .utils.io import write_keyed_text
+
+        out = self.exp_dir / name / "decode"
+        out.mkdir(parents=True, exist_ok=True)
+        write_keyed_text(out / "transcription.txt",
+                         {u: " ".join(h) for u, h in hyps.items()})
+        lines = [f"best: {result.best_wer} (LMWT {result.best_lmwt}, "
+                 f"WIP {result.best_wip})"]
+        for (lmwt, wip), stats in sorted(result.table.items()):
+            lines.append(f"LMWT {lmwt} WIP {wip}: {stats}")
+        lo, mid, hi = wer_bootstrap_ci(refs, hyps, num_reps=2000)
+        lines.append(f"bootstrap 95% CI: [{lo:.2f}, {hi:.2f}] median {mid:.2f}")
+        (out / "wer_table.txt").write_text("\n".join(lines) + "\n")
+        details = per_utt_details(refs, hyps)
+        with open(out / "per_utt_details.txt", "w") as f:
+            for u, ops in sorted(details.items()):
+                f.write(f"{u} " + " ".join(
+                    f"{op}:{r or '*'}->{h or '*'}" for op, r, h in ops) + "\n")
 
     def decode_mbr(self, model: TrainedModel, hclg: Fst,
                    feat_kind: str = "delta", nbest: int = 4,
