@@ -152,6 +152,25 @@ class TestArchive:
             np.testing.assert_array_equal(back[k], v)
             assert back.num_rows(k) == v.shape[0]
 
+    def test_uint8_compression_roundtrip(self, tmp_path):
+        """CompressedMatrix role (matrix/compressed-matrix.h): lossy uint8
+        storage; error bounded by half a quantization step per column."""
+        w = ArrayArchiveWriter(tmp_path / "c", dtype=np.float32,
+                               compression="uint8")
+        data = {f"utt{i}": (RNG.standard_normal((30, 13)) * (i + 1)
+                            ).astype(np.float32) for i in range(4)}
+        for k, v in sorted(data.items()):
+            w.write(k, v)
+        w.close()
+        back = ArrayArchive(tmp_path / "c")
+        assert back.compression == "uint8"
+        raw = np.load(tmp_path / "c" / "data.npy")
+        assert raw.dtype == np.uint8
+        for k, v in data.items():
+            step = (v.max(axis=0) - v.min(axis=0)) / 255.0
+            err = np.abs(back[k] - v)
+            assert (err <= step / 2 + 1e-6).all()
+
     def test_duplicate_key_rejected(self, tmp_path):
         w = ArrayArchiveWriter(tmp_path / "b")
         w.write("x", np.zeros((2, 2)))

@@ -94,3 +94,39 @@ class TestMeshConsistency:
         _, _, _, _, alpha_sharded = run_estep(setup, 4)
         np.testing.assert_allclose(np.asarray(alpha_end), alpha_sharded,
                                    rtol=1e-4, atol=1e-3)
+
+
+class TestInputPipeline:
+    def test_bucketing_bounds_padding(self, tmp_path):
+        from voicebridge_tpu.parallel.data import bucket_by_length
+
+        rng = np.random.default_rng(0)
+        nf = {f"u{i:03d}": int(rng.integers(50, 1000)) for i in range(200)}
+        batches = bucket_by_length(nf, batch_size=16, max_pad_ratio=0.2)
+        seen = [u for utts, _t in batches for u in utts]
+        assert sorted(seen) == sorted(nf)  # partition, no dup/loss
+        for utts, t_pad in batches:
+            assert len(utts) <= 16
+            assert t_pad == max(nf[u] for u in utts)
+            waste = sum(t_pad - nf[u] for u in utts)
+            assert waste <= 0.2 * t_pad * len(utts) + t_pad  # bounded
+
+    def test_stream_batches_roundtrip(self, tmp_path):
+        from voicebridge_tpu.parallel.data import stream_batches
+        from voicebridge_tpu.utils.io import write_archive
+
+        rng = np.random.default_rng(1)
+        data = {f"u{i}": rng.standard_normal((int(rng.integers(5, 40)), 13)
+                                             ).astype(np.float32)
+                for i in range(30)}
+        arc = write_archive(tmp_path / "f", data)
+        nf = {u: v.shape[0] for u, v in data.items()}
+        seen = set()
+        for utts, feats, nfs in stream_batches(arc, nf, batch_size=8,
+                                               pad_multiple=4):
+            assert feats.shape[0] % 4 == 0
+            for i, u in enumerate(utts):
+                np.testing.assert_array_equal(feats[i, : nfs[i]], data[u])
+                assert (feats[i, nfs[i]:] == 0).all()
+                seen.add(u)
+        assert seen == set(data)

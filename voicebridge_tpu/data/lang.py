@@ -123,6 +123,35 @@ def validate_lang(lang: Lang) -> list:
                     problems.append(f"{name}: bad ilabel {a.ilabel}")
                 if not (0 <= a.olabel <= max_w):
                     problems.append(f"{name}: bad olabel {a.olabel}")
+    # lexicon coverage: every real word must be emittable by L
+    # (validate_lang.cpp's words.txt<->L.fst cross-check)
+    emitted = {a.olabel for s in lang.L.states() for a in lang.L.arcs[s]}
+    special = {0, lang.word_disambig_id}
+    for w in range(1, max_w + 1):
+        try:
+            sym = lang.words.sym(w)
+        except KeyError:
+            continue
+        if w in special or sym in ("<s>", "</s>", "<unk>"):
+            continue
+        if w not in emitted:
+            problems.append(f"word {sym!r} (id {w}) has no pronunciation in L")
+    # connectivity: L must admit at least one complete path
+    from ..fst.core import ZERO
+    if lang.L.start >= 0:
+        seen = {lang.L.start}
+        stack = [lang.L.start]
+        reach_final = False
+        while stack:
+            s = stack.pop()
+            if lang.L.finals[s] != ZERO:
+                reach_final = True
+            for a in lang.L.arcs[s]:
+                if a.nextstate not in seen:
+                    seen.add(a.nextstate)
+                    stack.append(a.nextstate)
+        if not reach_final:
+            problems.append("L has no path from start to a final state")
     return problems
 
 

@@ -1,0 +1,12 @@
+"""Lattice types and algebra (counterpart of the reference's ``lat`` library:
+``kaldi-master/src/lat/`` — kaldi-lattice.h, lattice-functions.h, sausages.h)."""
+
+from .lattice import (Lattice, build_lattices, lattice_best_path,
+                      lattice_depth_per_frame, lattice_nbest, lattice_to_post,
+                      lattice_mbr, rescore_lattice_acoustics)
+
+__all__ = [
+    "Lattice", "build_lattices", "lattice_best_path", "lattice_to_post",
+    "lattice_nbest", "lattice_depth_per_frame", "lattice_mbr",
+    "rescore_lattice_acoustics",
+]

@@ -1,0 +1,370 @@
+"""Frame-synchronous lattices + lattice algebra on the host.
+
+Counterpart of the reference's lattice stack (``lat/kaldi-lattice.h:69-107``
+``Lattice/CompactLattice``; ``lat/lattice-functions.h`` best-path / posterior /
+depth / scale; ``latbin/lattice-{scale,add-penalty,best-path,to-post,
+mbr-decode}.cpp``; ``gmmbin/gmm-rescore-lattice.cpp``).
+
+Representation: the device forward-backward (``ops/lattice.py``) emits, per
+utterance, the set of surviving (frame t, dense-graph arc a) instances.  A
+``Lattice`` stores them as flat arrays with Kaldi's ``LatticeWeight``
+convention — graph cost and acoustic cost kept SEPARATE so scaling
+(``LatticeScale``, the LMWT sweep) is a reweighting, not a re-decode.  States
+are implicit (t, graph-state) pairs; the lattice is acyclic and topologically
+ordered by t, so every algorithm below is a single vectorized sweep over
+frames.
+
+Word labels: dense-graph arcs carry word *sequences* (epsilon-closure
+outputs), stored per arc via the graph's oseq table.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..ops.viterbi import DenseGraph, NEG_INF
+
+
+@dataclass
+class Lattice:
+    """A pruned utterance lattice over a shared dense decode graph."""
+
+    graph: DenseGraph
+    nf: int                      # number of frames
+    arc_t: np.ndarray            # [M] int32 frame index
+    arc_id: np.ndarray           # [M] int32 dense-graph arc id
+    acoustic_cost: np.ndarray    # [M] f32 = -loglik (unscaled)
+    # per-utterance start/final handling
+    use_final: bool              # final states were reachable
+    # caches
+    _states: dict = field(default_factory=dict, repr=False)
+
+    # -- derived views -------------------------------------------------------
+    @property
+    def num_arcs(self) -> int:
+        return len(self.arc_id)
+
+    @property
+    def arc_src(self) -> np.ndarray:
+        return self.graph.arc_src[self.arc_id]
+
+    @property
+    def arc_dst(self) -> np.ndarray:
+        return self.graph.arc_dst[self.arc_id]
+
+    @property
+    def graph_cost(self) -> np.ndarray:
+        return -self.graph.arc_score[self.arc_id]
+
+    @property
+    def arc_tid(self) -> np.ndarray:
+        return self.graph.arc_tid[self.arc_id]
+
+    @property
+    def arc_pdf(self) -> np.ndarray:
+        return self.graph.arc_pdf[self.arc_id]
+
+    def arc_words(self, m: int) -> tuple:
+        return self.graph.oseqs[self.graph.arc_oseq[self.arc_id[m]]]
+
+    def num_words(self) -> np.ndarray:
+        """[M] number of word labels on each arc (for insertion penalties)."""
+        lens = np.asarray([len(o) for o in self.graph.oseqs], np.int32)
+        return lens[self.graph.arc_oseq[self.arc_id]]
+
+    def final_cost(self, state: int) -> float:
+        """Final cost of graph state ``state`` at frame nf."""
+        if not self.use_final:
+            return 0.0
+        fs = self.graph.final_score[state]
+        return float(-fs) if fs > NEG_INF / 2 else float("inf")
+
+    def arc_total_cost(self, lm_scale: float = 1.0, acoustic_scale: float = 1.0,
+                       word_penalty: float = 0.0) -> np.ndarray:
+        """Combined per-arc cost under (LatticeScale + AddPenalty) weights."""
+        c = self.graph_cost * lm_scale + self.acoustic_cost * acoustic_scale
+        if word_penalty:
+            c = c + word_penalty * self.num_words()
+        return c
+
+    # -- state indexing ------------------------------------------------------
+    def _frame_slices(self):
+        """Arc index ranges per frame (arcs are sorted by t at build time)."""
+        bounds = np.searchsorted(self.arc_t, np.arange(self.nf + 1))
+        return bounds
+
+    def start_entries(self):
+        """(states, costs, oseq ids) of lattice entry points at t=0."""
+        g = self.graph
+        if self.num_arcs == 0:
+            srcs = np.asarray([int(np.argmax(g.alpha0))], np.int64)
+        else:
+            srcs = np.unique(self.arc_src[self.arc_t == 0])
+        costs = -g.alpha0[srcs]
+        oseqs = g.start_oseq[srcs]
+        ok = costs < -NEG_INF / 2
+        return srcs[ok], costs[ok], oseqs[ok]
+
+
+def build_lattices(graph: DenseGraph, mask: np.ndarray, ll: np.ndarray,
+                   num_frames, use_final: np.ndarray) -> list[Lattice]:
+    """Assemble per-utterance lattices from the device FB survivor mask.
+
+    mask [T, B, A] bool; ll [B, T, P] host loglikes; num_frames [B].
+    """
+    t_tot, b, a = mask.shape
+    out = []
+    for i in range(b):
+        nf = int(num_frames[i])
+        ts, arcs = np.nonzero(mask[:nf, i, :])
+        order = np.argsort(ts, kind="stable")
+        ts = ts[order].astype(np.int32)
+        arcs = arcs[order].astype(np.int32)
+        ac = -ll[i, ts, graph.arc_pdf[arcs]].astype(np.float32)
+        out.append(Lattice(graph=graph, nf=nf, arc_t=ts, arc_id=arcs,
+                           acoustic_cost=ac, use_final=bool(use_final[i])))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Forward sweeps over a lattice (all vectorized per frame)
+# ---------------------------------------------------------------------------
+
+
+def _sweep(lat: Lattice, arc_cost: np.ndarray, mode: str,
+           lm_scale: float = 1.0):
+    """Shared forward sweep.  mode='min' (tropical/Viterbi, returns
+    backpointers) or 'log' (log semiring, returns alphas only).
+
+    Returns (alpha [nf+1, S_touched? no — dense over graph states], bp list).
+    State scores are dense [S] per frame boundary — the graph's state count
+    is the padded decode graph size, fine on host for one utterance.
+    """
+    g = lat.graph
+    s = g.num_states
+    inf = np.float64(np.inf)
+    alpha = np.full(s, inf)
+    srcs, costs, _ = lat.start_entries()
+    alpha[srcs] = np.minimum(alpha[srcs], costs * lm_scale)  # start-closure costs are graph costs
+    alphas = [alpha]
+    bps = []
+    bounds = lat._frame_slices()
+    src_all, dst_all = lat.arc_src, lat.arc_dst
+    for t in range(lat.nf):
+        lo, hi = bounds[t], bounds[t + 1]
+        sa, da, ca = src_all[lo:hi], dst_all[lo:hi], arc_cost[lo:hi]
+        cand = alpha[sa] + ca
+        new = np.full(s, inf)
+        if mode == "min":
+            bp = np.full(s, -1, np.int64)
+            order = np.argsort(cand, kind="stable")[::-1]
+            new[da[order]] = cand[order]
+            bp[da[order]] = np.arange(lo, hi)[order]
+            bps.append(bp)
+        else:
+            # stable -logsumexp(-cand) per dst: min as shift, then exp-sum
+            np.minimum.at(new, da, cand)
+            m = new[da]
+            acc = np.zeros(s)
+            np.add.at(acc, da, np.exp(-(cand - m)))
+            new = np.where(np.isfinite(new),
+                           new - np.log(np.maximum(acc, 1e-300)), inf)
+        alpha = new
+        alphas.append(alpha)
+    return alphas, bps
+
+
+def lattice_best_path(lat: Lattice, lm_scale: float = 1.0,
+                      acoustic_scale: float = 1.0,
+                      word_penalty: float = 0.0) -> dict:
+    """Viterbi best path through the lattice (``lattice-best-path`` role,
+    with ``lattice-scale``/``lattice-add-penalty`` folded into the weights).
+
+    Returns {"words", "tids", "score", "arcs"} like the decoder backtraces
+    (score in max-plus domain = -cost).
+    """
+    g = lat.graph
+    cost = lat.arc_total_cost(lm_scale, acoustic_scale, word_penalty)
+    alphas, bps = _sweep(lat, cost.astype(np.float64), "min", lm_scale)
+    final = alphas[-1].copy()
+    if lat.use_final:
+        fs = np.where(g.final_score > NEG_INF / 2,
+                      -g.final_score * lm_scale, np.inf)
+        final = final + fs
+    if not np.isfinite(final).any():
+        return {"words": [], "tids": [], "score": -np.inf, "arcs": []}
+    end = int(np.argmin(final))
+    total = float(final[end])
+    arcs = []
+    s_cur = end
+    for t in range(lat.nf - 1, -1, -1):
+        m = int(bps[t][s_cur])
+        arcs.append(m)
+        s_cur = int(lat.arc_src[m])
+    arcs.reverse()
+    words = list(g.oseqs[g.start_oseq[s_cur]])
+    for m in arcs:
+        words.extend(lat.arc_words(m))
+    if lat.use_final:
+        words.extend(g.oseqs[g.final_oseq[end]])
+    return {"words": words,
+            "tids": [int(t) for t in lat.arc_tid[arcs]],
+            "score": -total, "arcs": arcs}
+
+
+def lattice_to_post(lat: Lattice, acoustic_scale: float = 1.0,
+                    lm_scale: float = 1.0, min_post: float = 1e-4):
+    """Arc posteriors by forward-backward in the log semiring
+    (``lattice-to-post`` role).  Returns (arc_post [M] f64, per-frame lists of
+    (tid, pdf, post) with posts > min_post normalized per frame).
+    """
+    g = lat.graph
+    s = g.num_states
+    cost = lat.arc_total_cost(lm_scale, acoustic_scale).astype(np.float64)
+    alphas, _ = _sweep(lat, cost, "log", lm_scale)
+
+    # backward (log semiring); final costs are graph costs -> lm_scale
+    inf = np.inf
+    if lat.use_final:
+        beta = np.where(g.final_score > NEG_INF / 2,
+                        -g.final_score.astype(np.float64) * lm_scale, inf)
+    else:
+        beta = np.zeros(s, np.float64)
+    bounds = lat._frame_slices()
+    src_all, dst_all = lat.arc_src, lat.arc_dst
+    arc_post = np.zeros(lat.num_arcs, np.float64)
+    # total log prob (cost domain): combine at the end states
+    tot = _log_add_vec(alphas[-1] + beta)
+    betas_next = beta
+    for t in range(lat.nf - 1, -1, -1):
+        lo, hi = bounds[t], bounds[t + 1]
+        sa, da, ca = src_all[lo:hi], dst_all[lo:hi], cost[lo:hi]
+        through = alphas[t][sa] + ca + betas_next[da]
+        arc_post[lo:hi] = np.exp(-(through - tot))
+        # beta at t
+        new = np.full(s, inf)
+        cand = ca + betas_next[da]
+        np.minimum.at(new, sa, cand)
+        m = new[sa]
+        acc = np.zeros(s)
+        np.add.at(acc, sa, np.exp(-(cand - m)))
+        betas_next = np.where(np.isfinite(new),
+                              new - np.log(np.maximum(acc, 1e-300)), inf)
+
+    per_frame = []
+    for t in range(lat.nf):
+        lo, hi = bounds[t], bounds[t + 1]
+        posts = arc_post[lo:hi]
+        tids = lat.arc_tid[lo:hi]
+        pdfs = lat.arc_pdf[lo:hi]
+        keep = posts > min_post
+        p = posts[keep]
+        z = p.sum()
+        if z > 0:
+            p = p / z
+        per_frame.append(list(zip(tids[keep].tolist(), pdfs[keep].tolist(),
+                                  p.tolist())))
+    return arc_post, per_frame
+
+
+def _log_add_vec(costs: np.ndarray) -> float:
+    finite = costs[np.isfinite(costs)]
+    if len(finite) == 0:
+        return np.inf
+    m = finite.min()
+    return float(m - np.log(np.exp(-(finite - m)).sum()))
+
+
+def lattice_depth_per_frame(lat: Lattice) -> np.ndarray:
+    """Arcs crossing each frame (``lattice-depth-per-frame`` role)."""
+    depth = np.zeros(lat.nf, np.int64)
+    np.add.at(depth, lat.arc_t, 1)
+    return depth
+
+
+def lattice_nbest(lat: Lattice, n: int, lm_scale: float = 1.0,
+                  acoustic_scale: float = 1.0, word_penalty: float = 0.0,
+                  beam: float = np.inf) -> list[dict]:
+    """Word-sequence-unique N-best from the lattice — the role of
+    ``lattice-determinize-pruned`` + ``lattice-nbest``: per (frame, state) we
+    keep the best-scoring partial path per distinct word sequence, up to the
+    top ``n`` of them, pruned to ``beam``.  Exact when the per-state list
+    doesn't overflow ``n`` distinct sequences.
+
+    Returns list of {"words", "score", "tids"} sorted best-first.
+    """
+    g = lat.graph
+    cost = lat.arc_total_cost(lm_scale, acoustic_scale, word_penalty)
+    bounds = lat._frame_slices()
+    # per state: dict wordseq(tuple) -> (cost, arcs tuple)
+    cur: dict[int, dict] = {}
+    for s0, c0, o0 in zip(*lat.start_entries()):
+        cur.setdefault(int(s0), {})[tuple(g.oseqs[o0])] = (float(c0) * lm_scale, ())
+    for t in range(lat.nf):
+        lo, hi = bounds[t], bounds[t + 1]
+        nxt: dict[int, dict] = {}
+        for m in range(lo, hi):
+            sa = int(lat.arc_src[m])
+            if sa not in cur:
+                continue
+            da = int(lat.arc_dst[m])
+            w = lat.arc_words(m)
+            ca = float(cost[m])
+            d = nxt.setdefault(da, {})
+            for ws, (c, arcs) in cur[sa].items():
+                nws = ws + w
+                nc = c + ca
+                old = d.get(nws)
+                if old is None or nc < old[0]:
+                    d[nws] = (nc, arcs + (m,))
+        # cap per-state lists at n (by cost)
+        for da, d in nxt.items():
+            if len(d) > n:
+                best = sorted(d.items(), key=lambda kv: kv[1][0])[:n]
+                nxt[da] = dict(best)
+        cur = nxt
+    # finals
+    finals: dict[tuple, tuple] = {}
+    for s, d in cur.items():
+        fc = lat.final_cost(s) * (lm_scale if lat.use_final else 1.0)
+        if not np.isfinite(fc):
+            continue
+        fw = tuple(g.oseqs[g.final_oseq[s]]) if lat.use_final else ()
+        for ws, (c, arcs) in d.items():
+            nws = ws + fw
+            nc = c + fc
+            old = finals.get(nws)
+            if old is None or nc < old[0]:
+                finals[nws] = (nc, arcs)
+    ranked = sorted(finals.items(), key=lambda kv: kv[1][0])
+    if ranked and np.isfinite(beam):
+        best = ranked[0][1][0]
+        ranked = [r for r in ranked if r[1][0] <= best + beam]
+    out = []
+    for ws, (c, arcs) in ranked[:n]:
+        out.append({"words": list(ws), "score": -c,
+                    "tids": [int(x) for x in lat.arc_tid[list(arcs)]]})
+    return out
+
+
+def lattice_mbr(lat: Lattice, n: int = 20, lm_scale: float = 1.0,
+                acoustic_scale: float = 1.0,
+                word_penalty: float = 0.0) -> tuple[list, list]:
+    """Minimum-Bayes-risk word sequence via confusion network over the
+    lattice's N best word sequences (``lattice-mbr-decode`` / sausages role;
+    ``lat/sausages.h:76``).  Returns (words, per-word confidences)."""
+    from ..steps.mbr import mbr_decode
+
+    hyps = lattice_nbest(lat, n, lm_scale, acoustic_scale, word_penalty)
+    return mbr_decode([(h["words"], h["score"]) for h in hyps])
+
+
+def rescore_lattice_acoustics(lat: Lattice, ll: np.ndarray) -> Lattice:
+    """Replace acoustic costs with a new model's loglikes
+    (``gmm-rescore-lattice`` role).  ll: [T, P] for this utterance."""
+    ac = -ll[lat.arc_t, lat.arc_pdf].astype(np.float32)
+    return Lattice(graph=lat.graph, nf=lat.nf, arc_t=lat.arc_t,
+                   arc_id=lat.arc_id, acoustic_cost=ac,
+                   use_final=lat.use_final)

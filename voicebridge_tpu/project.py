@@ -335,7 +335,9 @@ class Project:
         utts, feats, nf = self._test_batch(test_feats)
         dec = Decoder(hclg, model.trans_model, model.am, opts)
         lmwts = list(range(opts.min_lmwt, opts.max_lmwt + 1, 3))
-        sweep = dec.decode_sweep(utts, feats, nf, lmwts)
+        # the reference's scoring design: one lattice decode, host-side
+        # LatticeScale per LMWT (score_kaldi_wer.cpp:279-289)
+        sweep, lats = dec.decode_sweep_lattice(utts, feats, nf, lmwts)
         refs = {u: list(self.test_data.text[u]) for u in utts}
         hyps_by = {w: {r.utt: [self.lang.words.sym(x) for x in r.words]
                        for r in rs} for w, rs in sweep.items()}
@@ -344,6 +346,10 @@ class Project:
         if out_name:
             self._save_decode_artifacts(out_name, refs,
                                         hyps_by[result.best_lmwt], result)
+            from .steps.diagnostic import lattice_depth_stats
+            ds = lattice_depth_stats(lats)
+            (self.exp_dir / out_name / "decode" / "lattice_depth.txt").write_text(
+                "".join(f"{k} {v}\n" for k, v in ds.items()))
         return result
 
     def _save_decode_artifacts(self, name: str, refs: dict, hyps: dict,

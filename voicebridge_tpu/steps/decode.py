@@ -76,6 +76,53 @@ class Decoder:
                                      acoustic_scale=1.0 / w)
                 for w in lmwts}
 
+    def decode_lattice(self, utts: list[str], feats: np.ndarray,
+                       num_frames: np.ndarray,
+                       acoustic_scale: float | None = None) -> dict:
+        """Lattice-generating decode (``gmm-latgen-faster``'s lattice output):
+        one device forward-backward pass; arcs whose best complete path is
+        within ``lattice_beam`` of the global best survive.  Returns
+        {utt: Lattice} with graph/acoustic costs stored separately."""
+        from ..lat import build_lattices
+        from ..ops import lattice as LAT
+
+        acwt = self.opts.acoustic_scale if acoustic_scale is None else acoustic_scale
+        g = self.graph
+        if not hasattr(self, "_rev_levels"):
+            self._rev_levels = LAT.build_src_plan(g, k=8)
+        ll = K.loglikes_batch(self.params, jnp.asarray(feats))
+        nf = np.asarray(num_frames)
+        mask, _best, _aend, use_final = LAT.lattice_forward_backward(
+            g, self.levels, self._rev_levels, ll, nf,
+            acoustic_scale=acwt, beam=self.opts.beam,
+            lattice_beam=self.opts.lattice_beam,
+            max_active=self.opts.max_active,
+            window=min(64, max(8, int(np.max(nf)))))
+        lats = build_lattices(g, mask, np.asarray(ll), nf, use_final)
+        return dict(zip(utts, lats))
+
+    def decode_sweep_lattice(self, utts: list[str], feats: np.ndarray,
+                             num_frames: np.ndarray, lmwts: list[int],
+                             word_penalty: float = 0.0) -> tuple[dict, dict]:
+        """The reference's scoring design (``score_kaldi_wer.cpp:279-356``):
+        decode ONCE into lattices at the training acoustic scale, then rescale
+        per LMWT on the host (``lattice-scale`` role) — no re-decode.
+
+        Returns ({lmwt: [DecodeResult]}, {utt: Lattice})."""
+        from ..lat import lattice_best_path
+
+        lats = self.decode_lattice(utts, feats, num_frames)
+        sweep = {}
+        for w in lmwts:
+            res = []
+            for u in utts:
+                p = lattice_best_path(lats[u], lm_scale=1.0,
+                                      acoustic_scale=1.0 / w,
+                                      word_penalty=word_penalty)
+                res.append(DecodeResult(u, p["words"], p["score"], p["tids"]))
+            sweep[w] = res
+        return sweep, lats
+
     def decode_nbest(self, utts: list[str], feats: np.ndarray,
                      num_frames: np.ndarray, nbest: int = 4,
                      acoustic_scale: float | None = None) -> dict:
@@ -96,15 +143,18 @@ class Decoder:
                 for u, hs in zip(utts, hyps)}
 
     def decode_mbr(self, utts: list[str], feats: np.ndarray,
-                   num_frames: np.ndarray, nbest: int = 4) -> list[DecodeResult]:
-        """MBR consensus decoding from N-best hypotheses
-        (lattice-mbr-decode role)."""
-        from .mbr import mbr_decode
+                   num_frames: np.ndarray, nbest: int = 8) -> list[DecodeResult]:
+        """MBR consensus decoding over lattices (``lattice-mbr-decode`` role):
+        one lattice decode, then a confusion network from each lattice's
+        word-unique N best paths."""
+        from ..lat import lattice_mbr, lattice_best_path
 
-        nb = self.decode_nbest(utts, feats, num_frames, nbest)
+        lats = self.decode_lattice(utts, feats, num_frames)
+        acwt = self.opts.acoustic_scale
         out = []
         for u in utts:
-            words, _conf = mbr_decode(nb[u])
-            score = nb[u][0][1] if nb[u] else -np.inf
+            words, _conf = lattice_mbr(lats[u], n=nbest, lm_scale=1.0,
+                                       acoustic_scale=acwt)
+            score = lattice_best_path(lats[u], 1.0, acwt)["score"]
             out.append(DecodeResult(u, words, score))
         return out

@@ -1,15 +1,18 @@
-"""Two-pass speaker-adapted decoding (fMLLR).
+"""Two-pass speaker-adapted decoding (fMLLR) from lattice posteriors.
 
 Counterpart of the reference's ``DecodeFmllr`` (``scr/steps/decode_fmllr.cpp``,
-1 299 LoC; stage trace SURVEY.md §2.1): (0) speaker-independent first pass
-with ``final.alimdl``; (1) per-speaker fMLLR estimated from first-pass
-hypotheses (silence down-weighted); (2) adapted decode with ``final.mdl``;
-(3) second fMLLR estimate from the adapted pass + final decode.
+1 299 LoC; stage trace SURVEY.md §2.1):
 
-v1 note: the reference estimates transforms from *lattice* posteriors
-(LatticeToPost -> GmmPostToGpost); until device lattices land, posteriors come
-from the best path's mixture posteriors — the dominant term of the lattice
-posterior for well-separated beams.
+  (0) speaker-independent first pass with ``final.alimdl`` into lattices;
+  (1) per-speaker fMLLR from SI-lattice posteriors
+      (``LatticeToPost -> WeightSilencePost -> GmmPostToGpost ->
+      GmmEstFmllrGpost``, decode_fmllr.cpp:314-383);
+  (2) adapted lattice decode with ``final.mdl`` (:405-458);
+  (3) second fMLLR estimate from the adapted lattices (:491-...) — estimated
+      directly as the TOTAL transform on base features (same fixed point as
+      the reference's delta-transform + ComposeTransforms);
+  (4) final rescoring of the adapted-pass lattices with the final features
+      (``GmmRescoreLattice``, :583-640) and best-path extraction.
 """
 
 from __future__ import annotations
@@ -20,16 +23,18 @@ import numpy as np
 from ..config import FmllrDecodeOptions
 from ..data.lang import Lang
 from ..fst.core import Fst
+from ..lat import lattice_best_path, lattice_to_post, rescore_lattice_acoustics
 from ..models.gmm import AmDiagGmm
 from ..models.transition import TransitionModel
 from ..transforms.fmllr import (acc_fmllr_stats, apply_fmllr_batch,
                                 estimate_fmllr_batch)
 from ..ops import gmm_kernels as K
 from ..steps.decode import Decoder, DecodeResult
-from ..steps.train_lda_mllt import silence_frame_weights
 from ..utils.logging import get_logger
 
 log = get_logger()
+
+K_POST = 4  # posterior entries kept per frame (lattice posteriors are peaky)
 
 
 def decode_fmllr(hclg: Fst, trans_model: TransitionModel, am: AmDiagGmm,
@@ -41,54 +46,70 @@ def decode_fmllr(hclg: Fst, trans_model: TransitionModel, am: AmDiagGmm,
     speakers = sorted({utt2spk[u] for u in utts})
     spk_idx = {s: i for i, s in enumerate(speakers)}
     spk_of_utt = np.asarray([spk_idx[utt2spk[u]] for u in utts], np.int32)
-    spk_flat = np.repeat(spk_of_utt, t_max)
+    spk_flat = np.repeat(np.repeat(spk_of_utt, t_max), K_POST)
     sil_set = set(lang.silence_phone_ids)
     base_flat = jnp.asarray(feats.reshape(b * t_max, dim))
+    frame_rep = np.repeat(np.arange(b * t_max), K_POST)
 
-    def tids_and_weights(results):
-        tids = np.zeros((b, t_max), np.int32)
-        w = np.zeros((b, t_max), np.float32)
-        for i, r in enumerate(results):
-            if r.tids:
-                tids[i, : len(r.tids)] = r.tids
-                w[i, : len(r.tids)] = 1.0
-        wflat = silence_frame_weights(tids.reshape(-1), w.reshape(-1),
-                                      trans_model, sil_set,
-                                      opts.silence_weight)
-        return tids.reshape(-1), wflat
+    def lattice_posteriors(lats):
+        """Per-frame top-K (pdf, weight) from lattice posteriors, silence
+        down-weighted (WeightSilencePost role)."""
+        pdf = np.zeros((b, t_max, K_POST), np.int32)
+        w = np.zeros((b, t_max, K_POST), np.float32)
+        for i, u in enumerate(utts):
+            lat = lats[u]
+            if lat.num_arcs == 0:
+                continue
+            _ap, per_frame = lattice_to_post(
+                lat, acoustic_scale=opts.acoustic_scale, min_post=0.01)
+            for t, entries in enumerate(per_frame):
+                entries = sorted(entries, key=lambda e: -e[2])[:K_POST]
+                for kk, (tid, pdfk, p) in enumerate(entries):
+                    sil = int(trans_model.tid2phone[tid]) in sil_set
+                    pdf[i, t, kk] = pdfk
+                    w[i, t, kk] = p * (opts.silence_weight if sil else 1.0)
+        return pdf.reshape(-1), w.reshape(-1)
 
-    def estimate(model, tids_flat, wflat):
+    def estimate(model, pdf_flat, wflat):
         params = K.pack_gmm(model)
+        x = base_flat[jnp.asarray(frame_rep)]
         beta, k, g = acc_fmllr_stats(
             params, jnp.asarray(model.means()), jnp.asarray(model.inv_vars),
-            base_flat, jnp.asarray(trans_model.tid2pdf[tids_flat]),
-            jnp.asarray(wflat), jnp.asarray(spk_flat), len(speakers))
+            x, jnp.asarray(pdf_flat), jnp.asarray(wflat),
+            jnp.asarray(spk_flat), len(speakers))
         trans, imprs = estimate_fmllr_batch(np.asarray(beta), np.asarray(k),
                                             np.asarray(g),
                                             min_count=opts.fmllr_min_count)
         return trans, imprs
 
-    # ---- stage 0: SI pass with alimdl --------------------------------------
+    # ---- stage 0: SI lattice pass with alimdl -------------------------------
     si_dec = Decoder(hclg, trans_model, alimdl, _decode_opts(opts, first=True))
-    si_results = si_dec.decode_batch(utts, feats, num_frames, keep_tids=True)
+    si_lats = si_dec.decode_lattice(utts, feats, num_frames)
 
-    # ---- stage 1: first transforms -----------------------------------------
-    tids_flat, wflat = tids_and_weights(si_results)
-    trans, imprs = estimate(am, tids_flat, wflat)
+    # ---- stage 1: first transforms from SI-lattice posteriors ---------------
+    pdf_flat, wflat = lattice_posteriors(si_lats)
+    trans, _imprs = estimate(am, pdf_flat, wflat)
     log.info("decode_fmllr: pass-1 transforms for %d speakers", len(speakers))
 
-    # ---- stage 2: adapted decode -------------------------------------------
+    # ---- stage 2: adapted lattice decode ------------------------------------
     adapted = np.asarray(apply_fmllr_batch(jnp.asarray(feats), trans, spk_of_utt))
     ad_dec = Decoder(hclg, trans_model, am, _decode_opts(opts, first=False))
-    ad_results = ad_dec.decode_batch(utts, adapted, num_frames, keep_tids=True)
+    ad_lats = ad_dec.decode_lattice(utts, adapted, num_frames)
 
-    # ---- stage 3: second estimate + final decode ---------------------------
-    tids_flat, wflat = tids_and_weights(ad_results)
-    trans2, _ = estimate(am, tids_flat, wflat)
+    # ---- stage 3: second estimate from adapted lattices ---------------------
+    pdf_flat, wflat = lattice_posteriors(ad_lats)
+    trans2, _ = estimate(am, pdf_flat, wflat)
     adapted2 = np.asarray(apply_fmllr_batch(jnp.asarray(feats), trans2, spk_of_utt))
-    final_results = ad_dec.decode_batch(utts, adapted2, num_frames,
-                                        keep_tids=True)
-    return final_results, trans2
+
+    # ---- stage 4: rescore the adapted lattices with final features ----------
+    ll2 = np.asarray(K.loglikes_batch(ad_dec.params, jnp.asarray(adapted2)))
+    results = []
+    for i, u in enumerate(utts):
+        lat = rescore_lattice_acoustics(ad_lats[u], ll2[i])
+        p = lattice_best_path(lat, lm_scale=1.0,
+                              acoustic_scale=opts.acoustic_scale)
+        results.append(DecodeResult(u, p["words"], p["score"], p["tids"]))
+    return results, trans2
 
 
 def _decode_opts(opts: FmllrDecodeOptions, first: bool):

@@ -66,10 +66,30 @@ def report_alignment_diagnostics(alignments: dict, trans_model, lang=None,
     return text
 
 
+def lattice_depth_stats(lats: dict) -> dict:
+    """``analyze_lats.cpp`` / ``lattice-depth-per-frame`` role: distribution
+    of lattice depth (arcs crossing each frame) over a decode set."""
+    from ..lat import lattice_depth_per_frame
+
+    depths = []
+    for lat in lats.values():
+        if lat.nf:
+            depths.append(lattice_depth_per_frame(lat))
+    if not depths:
+        return {"mean_depth": 0.0, "median_depth": 0.0, "p95_depth": 0.0,
+                "max_depth": 0}
+    d = np.concatenate(depths)
+    return {
+        "mean_depth": float(d.mean()),
+        "median_depth": float(np.median(d)),
+        "p95_depth": float(np.percentile(d, 95)),
+        "max_depth": int(d.max()),
+    }
+
+
 def state_occupancy_report(alpha_end: np.ndarray, threshold: float = -1e29) -> dict:
-    """Decode-time analogue of lattice-depth stats until device lattices land:
-    distribution of surviving (un-pruned) states per utterance at the final
-    frame."""
+    """Decode-time analogue of lattice-depth stats: distribution of surviving
+    (un-pruned) states per utterance at the final frame."""
     active = (alpha_end > threshold).sum(axis=1)
     return {
         "mean_active_states": float(active.mean()),

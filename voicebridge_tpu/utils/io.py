@@ -23,7 +23,13 @@ import numpy as np
 
 
 class ArrayArchive:
-    """Read side of an utterance-keyed array archive (``feats/`` dir)."""
+    """Read side of an utterance-keyed array archive (``feats/`` dir).
+
+    With ``compression="uint8"`` at write time, rows are stored as per-key,
+    per-column affine-quantized uint8 codes (the role of Kaldi's
+    ``CompressedMatrix``, ``matrix/compressed-matrix.h``: lossy feature
+    storage at 4x reduction); decompression is transparent on read.
+    """
 
     def __init__(self, path: str | Path):
         self.path = Path(path)
@@ -31,10 +37,15 @@ class ArrayArchive:
             index = json.load(f)
         self.dtype = np.dtype(index["dtype"])
         self.trailing = tuple(index["trailing"])  # shape after first axis
+        self.compression = index.get("compression")
         self._index: dict[str, tuple[int, int]] = {
             k: (v[0], v[1]) for k, v in index["keys"].items()
         }
         self._data = np.load(self.path / "data.npy", mmap_mode="r")
+        if self.compression == "uint8":
+            # [K, 2, *trailing]: per-key column (offset, scale)
+            self._qparams = np.load(self.path / "qparams.npy", mmap_mode="r")
+            self._ordinal = {k: i for i, k in enumerate(self._index)}
 
     def keys(self) -> list[str]:
         return list(self._index.keys())
@@ -47,7 +58,11 @@ class ArrayArchive:
 
     def __getitem__(self, key: str) -> np.ndarray:
         off, n = self._index[key]
-        return np.asarray(self._data[off : off + n])
+        raw = np.asarray(self._data[off : off + n])
+        if self.compression == "uint8":
+            lo, scale = np.asarray(self._qparams[self._ordinal[key]])
+            return (raw.astype(self.dtype) * scale + lo).astype(self.dtype)
+        return raw
 
     def num_rows(self, key: str) -> int:
         return self._index[key][1]
@@ -60,11 +75,16 @@ class ArrayArchive:
 class ArrayArchiveWriter:
     """Write side. Rows are appended; ``close()`` finalizes data + index."""
 
-    def __init__(self, path: str | Path, dtype=np.float32):
+    def __init__(self, path: str | Path, dtype=np.float32,
+                 compression: str | None = None):
+        if compression not in (None, "uint8"):
+            raise ValueError(f"unknown compression {compression!r}")
         self.path = Path(path)
         self.path.mkdir(parents=True, exist_ok=True)
         self.dtype = np.dtype(dtype)
+        self.compression = compression
         self._chunks: list[np.ndarray] = []
+        self._qparams: list[np.ndarray] = []
         self._keys: dict[str, tuple[int, int]] = {}
         self._offset = 0
         self._trailing: tuple | None = None
@@ -84,21 +104,36 @@ class ArrayArchiveWriter:
             )
         self._keys[key] = (self._offset, arr.shape[0])
         self._offset += arr.shape[0]
-        self._chunks.append(arr)
+        if self.compression == "uint8":
+            # per-column affine quantization over this key's rows
+            lo = arr.min(axis=0) if arr.shape[0] else np.zeros(trailing, self.dtype)
+            hi = arr.max(axis=0) if arr.shape[0] else np.zeros(trailing, self.dtype)
+            scale = np.maximum((hi - lo) / 255.0, 1e-20).astype(self.dtype)
+            codes = np.clip(np.rint((arr - lo) / scale), 0, 255).astype(np.uint8)
+            self._qparams.append(np.stack([lo.astype(self.dtype), scale]))
+            self._chunks.append(codes)
+        else:
+            self._chunks.append(arr)
 
     def close(self) -> ArrayArchive:
         trailing = self._trailing if self._trailing is not None else ()
+        store_dtype = np.uint8 if self.compression == "uint8" else self.dtype
         data = (
             np.concatenate(self._chunks, axis=0)
             if self._chunks
-            else np.zeros((0, *trailing), dtype=self.dtype)
+            else np.zeros((0, *trailing), dtype=store_dtype)
         )
         np.save(self.path / "data.npy", data)
+        if self.compression == "uint8":
+            q = (np.stack(self._qparams) if self._qparams
+                 else np.zeros((0, 2, *trailing), self.dtype))
+            np.save(self.path / "qparams.npy", q)
         with open(self.path / "index.json", "w") as f:
             json.dump(
                 {
                     "dtype": self.dtype.str,
                     "trailing": list(trailing),
+                    "compression": self.compression,
                     "keys": {k: [o, n] for k, (o, n) in self._keys.items()},
                 },
                 f,
@@ -113,8 +148,8 @@ class ArrayArchiveWriter:
             self.close()
 
 
-def write_archive(path: str | Path, items: Mapping[str, np.ndarray] | Sequence[tuple[str, np.ndarray]], dtype=np.float32) -> ArrayArchive:
-    w = ArrayArchiveWriter(path, dtype=dtype)
+def write_archive(path: str | Path, items: Mapping[str, np.ndarray] | Sequence[tuple[str, np.ndarray]], dtype=np.float32, compression: str | None = None) -> ArrayArchive:
+    w = ArrayArchiveWriter(path, dtype=dtype, compression=compression)
     it = items.items() if isinstance(items, Mapping) else items
     for k, v in it:
         w.write(k, v)
