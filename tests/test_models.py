@@ -201,3 +201,93 @@ class TestArpaRoundtrip:
         assert abs(total - 1.0) < 0.02, total
         total_u = sum(10 ** arpa._score_word((), w) for w in vocab)
         assert abs(total_u - 1.0) < 0.02, total_u
+
+
+class TestFullGmm:
+    """FullGmm (gmm/full-gmm.h:40, mle-full-gmm.h roles)."""
+
+    def _full(self, p=3, m=2, d=4, seed=5):
+        from voicebridge_tpu.models.full_gmm import FullGmm
+
+        rng = np.random.default_rng(seed)
+        w = rng.random((p, m)) + 0.2
+        w /= w.sum(axis=1, keepdims=True)
+        mu = rng.standard_normal((p, m, d)) * 2
+        ic = np.zeros((p, m, d, d))
+        for i in range(p):
+            for j in range(m):
+                a = rng.standard_normal((d, d)) * 0.3
+                cov = a @ a.T + np.eye(d)
+                ic[i, j] = np.linalg.inv(cov)
+        return FullGmm(w, mu, ic)
+
+    def test_loglik_matches_scipy_formula(self):
+        from voicebridge_tpu.models.full_gmm import (loglikes_full,
+                                                     pack_full_gmm)
+
+        g = self._full()
+        x = RNG.standard_normal((12, g.dim)).astype(np.float32)
+        dev = np.asarray(loglikes_full(pack_full_gmm(g), jnp.asarray(x)))
+        for n in range(12):
+            # oracle: sum of weighted full-cov normal densities
+            for p in range(g.num_pdfs):
+                dens = 0.0
+                for j in range(g.max_mix):
+                    diff = x[n] - g.means[p, j]
+                    ic = g.inv_covars[p, j]
+                    _s, logdet = np.linalg.slogdet(ic)
+                    lg = (np.log(g.weights[p, j]) + 0.5 * logdet
+                          - 0.5 * g.dim * np.log(2 * np.pi)
+                          - 0.5 * diff @ ic @ diff)
+                    dens += np.exp(lg)
+                assert abs(dev[n, p] - np.log(dens)) < 1e-3
+
+    def test_em_monotone_and_recovers(self):
+        from voicebridge_tpu.models.full_gmm import (FullGmm, acc_full_stats,
+                                                     loglikes_full,
+                                                     pack_full_gmm)
+
+        rng = np.random.default_rng(3)
+        d = 3
+        # true single-pdf 2-mix full-cov data
+        a1 = rng.standard_normal((d, d)) * 0.4 + np.eye(d)
+        cov1 = a1 @ a1.T
+        x = np.concatenate([
+            rng.multivariate_normal([2, 0, -1], cov1, 400),
+            rng.multivariate_normal([-2, 1, 1], np.eye(d) * 0.5, 400),
+        ]).astype(np.float32)
+        pdf_ids = jnp.zeros(len(x), jnp.int32)
+        # init: 2 mixes at data mean +- jitter, identity precision
+        mu0 = x.mean(axis=0)
+        g = FullGmm(np.array([[0.5, 0.5]]),
+                    np.stack([[mu0 + 0.1, mu0 - 0.1]]),
+                    np.broadcast_to(np.eye(d), (1, 2, d, d)).copy())
+        lls = []
+        for _ in range(8):
+            packed = pack_full_gmm(g)
+            lls.append(float(loglikes_full(packed, jnp.asarray(x)).sum()))
+            occ, xa, xxa = acc_full_stats(packed, jnp.asarray(x), pdf_ids, 1)
+            g.mle_update(np.asarray(occ, np.float64),
+                         np.asarray(xa, np.float64),
+                         np.asarray(xxa, np.float64))
+        assert all(b >= a - 1e-2 for a, b in zip(lls, lls[1:])), lls
+        assert lls[-1] > lls[0] + 100  # real improvement
+
+    def test_diag_roundtrip(self):
+        from voicebridge_tpu.models.full_gmm import FullGmm
+
+        am = random_am(p=4, m=2, d=5)
+        full = FullGmm.from_diag(am)
+        x = RNG.standard_normal(5).astype(np.float64)
+        for p in range(4):
+            assert abs(full.loglike(p, x) - am.loglike(p, x)) < 1e-3
+        back = full.to_diag()
+        np.testing.assert_allclose(back.inv_vars, am.inv_vars, rtol=1e-5)
+
+    def test_save_load(self, tmp_path):
+        from voicebridge_tpu.models.full_gmm import FullGmm
+
+        g = self._full()
+        g.save(tmp_path / "full.npz")
+        g2 = FullGmm.load(tmp_path / "full.npz")
+        np.testing.assert_allclose(g2.gconsts, g.gconsts)

@@ -148,3 +148,87 @@ class TestFmllr:
                                             np.asarray(g), min_count=500)
         np.testing.assert_allclose(trans[0][:, :4], np.eye(4))
         assert imprs[0] == 0.0
+
+
+class TestBasisFmllr:
+    """Basis fMLLR (transform/basis-fmllr-diag-gmm.{h,cc} role)."""
+
+    def _speaker_stats(self, am, params, n_frames, seed):
+        rng = np.random.default_rng(seed)
+        x, p = sample_frames(am, n_frames)
+        a_true = np.eye(am.dim) + 0.25 * rng.standard_normal((am.dim, am.dim))
+        b_true = 0.5 * rng.standard_normal(am.dim)
+        x_spk = (x @ a_true.T + b_true).astype(np.float32)
+        beta, k, g = acc_fmllr_stats(params, jnp.asarray(am.means()),
+                                     jnp.asarray(am.inv_vars),
+                                     jnp.asarray(x_spk), jnp.asarray(p),
+                                     jnp.ones(len(p), np.float32),
+                                     jnp.zeros(len(p), np.int32), 1)
+        return (float(np.asarray(beta)[0]), np.asarray(k)[0],
+                np.asarray(g)[0], x_spk, p)
+
+    def test_basis_improves_sparse_speaker(self):
+        from voicebridge_tpu.transforms.basis_fmllr import (
+            estimate_fmllr_basis, train_fmllr_basis)
+
+        am = random_gmm(num_pdfs=5, mix=1, dim=5)
+        params = K.pack_gmm(am)
+        # train basis from 8 well-observed speakers
+        stats = [self._speaker_stats(am, params, 400, seed=100 + s)
+                 for s in range(8)]
+        basis = train_fmllr_basis(
+            np.asarray([s[0] for s in stats]),
+            np.stack([s[1] for s in stats]),
+            np.stack([s[2] for s in stats]), num_bases=20)
+        assert basis.size == 20 and basis.dim == 5
+
+        # sparse test speaker: 60 frames, far below full-fMLLR min_count
+        beta, k, g, x_spk, p = self._speaker_stats(am, params, 60, seed=999)
+        w, impr, n = estimate_fmllr_basis(basis, beta, k, g,
+                                          size_scale=0.2, min_count=20)
+        assert 0 < n <= 12  # coefficient count adapted to beta
+        assert impr > 0.05, f"basis-fMLLR impr {impr}"
+        x_ad = x_spk @ w[:, :5].T + w[:, 5]
+        ll_un = float(K.aligned_loglike(params, jnp.asarray(x_spk),
+                                        jnp.asarray(p)))
+        ll_ad = float(K.aligned_loglike(params, jnp.asarray(x_ad),
+                                        jnp.asarray(p)))
+        assert ll_ad > ll_un
+
+    def test_basis_approaches_full_fmllr_with_data(self):
+        from voicebridge_tpu.transforms.basis_fmllr import (
+            estimate_fmllr_basis, train_fmllr_basis)
+
+        am = random_gmm(num_pdfs=5, mix=1, dim=4)
+        params = K.pack_gmm(am)
+        stats = [self._speaker_stats(am, params, 400, seed=200 + s)
+                 for s in range(10)]
+        basis = train_fmllr_basis(
+            np.asarray([s[0] for s in stats]),
+            np.stack([s[1] for s in stats]),
+            np.stack([s[2] for s in stats]))
+        beta, k, g, _x, _p = self._speaker_stats(am, params, 1200, seed=55)
+        _w_full, imprs = estimate_fmllr_batch(
+            np.asarray([beta]), k[None], g[None], min_count=100)
+        _w_b, impr_b, n = estimate_fmllr_basis(basis, beta, k, g,
+                                               size_scale=1.0, num_iters=30)
+        assert n == basis.size  # plenty of data -> all coefficients
+        # with a full-rank basis and data, should reach most of full fMLLR
+        assert impr_b > 0.6 * imprs[0], (impr_b, imprs[0])
+
+    def test_basis_below_min_count_identity(self):
+        from voicebridge_tpu.transforms.basis_fmllr import (
+            estimate_fmllr_basis, train_fmllr_basis)
+
+        am = random_gmm(num_pdfs=4, mix=1, dim=4)
+        params = K.pack_gmm(am)
+        stats = [self._speaker_stats(am, params, 300, seed=300 + s)
+                 for s in range(4)]
+        basis = train_fmllr_basis(
+            np.asarray([s[0] for s in stats]),
+            np.stack([s[1] for s in stats]),
+            np.stack([s[2] for s in stats]))
+        beta, k, g, _x, _p = self._speaker_stats(am, params, 10, seed=77)
+        w, impr, n = estimate_fmllr_basis(basis, beta, k, g, min_count=50)
+        np.testing.assert_allclose(w[:, :4], np.eye(4))
+        assert impr == 0.0 and n == 0
