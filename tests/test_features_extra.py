@@ -111,3 +111,130 @@ class TestGetProns:
         out = estimate_pron_probs(lexicon, counts)
         probs = {p: pr for pr, p in out["A"]}
         assert probs[("AH",)] == 1.0 and probs[("EY",)] < 0.5
+
+
+class TestPlp:
+    """PLP extractor (reference: feat/feature-plp.cc Compute)."""
+
+    def _ref_plp_frame(self, power, mel_mat, eql, idft, order, num_ceps, lifter):
+        """Straightforward per-frame numpy PLP from a power spectrum."""
+        mel = (mel_mat @ power) * eql
+        mel = np.maximum(mel, np.finfo(np.float32).eps) ** 0.33333
+        dup = np.concatenate([[mel[0]], mel, [mel[-1]]])
+        ac = idft @ dup
+        # scalar Levinson-Durbin (mirrors the reference's Durbin())
+        e = ac[0]
+        lp = np.zeros(order)
+        for i in range(order):
+            ki = ac[i + 1] + sum(lp[j] * ac[i - j] for j in range(i))
+            ki /= e
+            c = max(1.0 - ki * ki, 1.0e-5)
+            e *= c
+            tmp = np.empty(i + 1)
+            tmp[i] = -ki
+            for j in range(i):
+                tmp[j] = lp[j] - ki * lp[i - j - 1]
+            lp[: i + 1] = tmp
+        ceps = np.zeros(order)
+        for i in range(order):
+            s = sum((i - j) * lp[j] * ceps[i - j - 1] for j in range(i))
+            ceps[i] = -lp[i] - s / (i + 1)
+        feat = np.concatenate([[np.log(max(e, np.finfo(np.float32).tiny))],
+                               ceps[: num_ceps - 1]])
+        return feat * lifter
+
+    def test_matches_scalar_reference(self):
+        from voicebridge_tpu.config import PlpOptions
+
+        fo = FrameOptions(dither=0.0)
+        opts = PlpOptions(frame_opts=fo, use_energy=False)
+        ext = F.PlpExtractor(opts)
+        wave = (RNG.standard_normal(6400) * 300).astype(np.float32)
+        got = ext(wave)
+        assert got.shape == (fo.num_frames(6400), 13)
+        assert np.isfinite(got).all()
+
+        # independent scalar recomputation of a few frames
+        window = F.feature_window(fo)
+        mel_mat = F.mel_bank_matrix(23, fo)
+        centers = F.mel_center_freqs(23, fo)
+        eql = F.equal_loudness_vector(centers)
+        idft = F.idft_bases(13, 25)
+        lifter = F.lifter_coeffs(13, 22.0)
+        for t in (0, 5, 17):
+            fr = wave[t * fo.window_shift: t * fo.window_shift + fo.window_size].copy()
+            fr = fr - fr.mean()
+            fr = fr - 0.97 * np.concatenate([[fr[0]], fr[:-1]])
+            fr = fr * window
+            padded = np.zeros(fo.padded_window_size, np.float32)
+            padded[: len(fr)] = fr
+            spec = np.fft.rfft(padded)
+            power = (spec.real**2 + spec.imag**2)[: fo.padded_window_size // 2]
+            want = self._ref_plp_frame(power.astype(np.float64), mel_mat, eql,
+                                       idft, 12, 13, lifter)
+            np.testing.assert_allclose(got[t], want, rtol=2e-3, atol=2e-3)
+
+    def test_use_energy_c0(self):
+        from voicebridge_tpu.config import PlpOptions
+
+        fo = FrameOptions(dither=0.0)
+        wave = (RNG.standard_normal(4800) * 300).astype(np.float32)
+        ext = F.PlpExtractor(PlpOptions(frame_opts=fo, use_energy=True))
+        out = ext(wave)
+        # C0 must equal the raw frame log-energy
+        fr = wave[: fo.window_size] - wave[: fo.window_size].mean()
+        want = np.log(np.sum(fr * fr))
+        np.testing.assert_allclose(out[0, 0], want, rtol=1e-4)
+
+    def test_batched_matches_single(self):
+        from voicebridge_tpu.config import PlpOptions
+        import jax.numpy as jnp
+
+        fo = FrameOptions(dither=0.0)
+        ext = F.PlpExtractor(PlpOptions(frame_opts=fo))
+        lens = [4000, 6400]
+        waves = np.zeros((2, 6400), np.float32)
+        for i, n in enumerate(lens):
+            waves[i, :n] = RNG.standard_normal(n) * 200
+        feats, counts = ext.batched(jnp.asarray(waves), jnp.asarray(lens),
+                                    fo.num_frames(6400))
+        for i, n in enumerate(lens):
+            single = ext(waves[i, :n])
+            np.testing.assert_allclose(np.asarray(feats)[i, : int(counts[i])],
+                                       single, rtol=1e-4, atol=1e-4)
+
+
+class TestCmvnVariants:
+    def test_two_channel_weights(self):
+        from voicebridge_tpu.transforms import cmvn
+
+        a = RNG.standard_normal((50, 13)).astype(np.float32)
+        b = RNG.standard_normal((50, 13)).astype(np.float32)
+        sa, sb = cmvn.acc_cmvn_stats_two_channel(a, b, 0.01)
+        # every frame contributes 1.0 to the louder side, 0.01 to the quieter
+        np.testing.assert_allclose(sa[0, 13] + sb[0, 13], 50 * 1.01, rtol=1e-5)
+        louder_a = int((a[:, 0] > b[:, 0]).sum())
+        np.testing.assert_allclose(sa[0, 13], louder_a + 0.01 * (50 - louder_a),
+                                   rtol=1e-5)
+        # length mismatch falls back to independent stats
+        sa2, sb2 = cmvn.acc_cmvn_stats_two_channel(a, b[:30])
+        np.testing.assert_allclose(sa2, cmvn.acc_cmvn_stats(a))
+
+    def test_utterance_pairs(self):
+        from voicebridge_tpu.transforms.cmvn import utterance_pairs
+
+        rows = [("c1-A", "c1", "A"), ("c1-B", "c1", "B"), ("c2-A", "c2", "A")]
+        assert utterance_pairs(rows) == [["c1-A", "c1-B"], ["c2-A"]]
+
+    def test_modify_cmvn_stats(self):
+        from voicebridge_tpu.transforms import cmvn
+
+        a = RNG.standard_normal((40, 8)).astype(np.float32) + 3.0
+        stats = cmvn.acc_cmvn_stats(a)
+        m = cmvn.modify_cmvn_stats(stats, skip_dims=[0, 3])
+        # faked dims: zero mean, unit variance
+        assert m[0, 0] == 0.0 and m[0, 3] == 0.0
+        np.testing.assert_allclose(m[1, 0], m[0, 8], rtol=1e-6)
+        mv = cmvn.modify_cmvn_stats(stats, convert_to_mean_and_var=True)
+        np.testing.assert_allclose(mv[0], a.mean(0), rtol=1e-4)
+        np.testing.assert_allclose(mv[1], a.var(0), rtol=1e-3)

@@ -129,6 +129,22 @@ class MfccOptions:
 
 
 @dataclass(frozen=True)
+class PlpOptions:
+    """PLP feature options (reference: feat/feature-plp.h:42-69)."""
+
+    frame_opts: FrameOptions = field(default_factory=FrameOptions)
+    mel_opts: MelOptions = field(default_factory=MelOptions)
+    lpc_order: int = 12
+    num_ceps: int = 13  # including C0
+    use_energy: bool = True
+    energy_floor: float = 0.0
+    raw_energy: bool = True
+    compress_factor: float = 0.33333
+    cepstral_lifter: float = 22.0
+    cepstral_scale: float = 1.0
+
+
+@dataclass(frozen=True)
 class DeltaOptions:
     order: int = 2
     window: int = 2

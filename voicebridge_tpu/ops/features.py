@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import DeltaOptions, FrameOptions, MfccOptions, SpliceOptions
+from ..config import (DeltaOptions, FrameOptions, MfccOptions, PlpOptions,
+                      SpliceOptions)
 
 FLT_EPS = float(np.finfo(np.float32).eps)
 
@@ -339,6 +340,185 @@ class SpectrogramExtractor:
         spec = jnp.fft.rfft(frames, axis=-1)
         power = spec.real**2 + spec.imag**2
         return np.asarray(jnp.log(jnp.maximum(power, FLT_EPS)))
+
+
+# ---------------------------------------------------------------------------
+# PLP (perceptual linear prediction)
+# ---------------------------------------------------------------------------
+
+
+def mel_center_freqs(num_bins: int, frame_opts: FrameOptions,
+                     low_freq: float = 20.0, high_freq: float = 0.0) -> np.ndarray:
+    """Center frequency (Hz) of each mel bin (reference: MelBanks ctor
+    center_freqs_, mel-computations.cc:89-104)."""
+    nyquist = 0.5 * frame_opts.samp_freq
+    if high_freq <= 0.0:
+        high_freq = nyquist + high_freq
+    mel_low = mel_scale(low_freq)
+    mel_high = mel_scale(high_freq)
+    mel_delta = (mel_high - mel_low) / (num_bins + 1)
+    centers = inverse_mel_scale(mel_low + (np.arange(num_bins) + 1) * mel_delta)
+    return centers.astype(np.float64)
+
+
+def equal_loudness_vector(center_freqs: np.ndarray) -> np.ndarray:
+    """Equal-loudness preemphasis curve per mel bin
+    (reference: ``GetEqualLoudnessVector``, mel-computations.cc:313-324)."""
+    fsq = center_freqs * center_freqs
+    fsub = fsq / (fsq + 1.6e5)
+    return (fsub * fsub * ((fsq + 1.44e6) / (fsq + 9.61e6))).astype(np.float32)
+
+
+def idft_bases(n_bases: int, dimension: int) -> np.ndarray:
+    """Inverse-DFT basis matrix ``[n_bases, dimension]`` mapping the
+    (end-duplicated) compressed mel spectrum to autocorrelations
+    (reference: ``InitIdftBases``, feat/feature-functions.cc:188-203)."""
+    angle = math.pi / (dimension - 1)
+    scale = 1.0 / (2.0 * (dimension - 1))
+    i = np.arange(n_bases, dtype=np.float64)[:, None]
+    j = np.arange(dimension, dtype=np.float64)[None, :]
+    m = 2.0 * scale * np.cos(angle * i * j)
+    m[:, 0] = scale
+    m[:, -1] = scale * np.cos(angle * i[:, 0] * (dimension - 1))
+    return m.astype(np.float32)
+
+
+def durbin_lpc(autocorr: jnp.ndarray, order: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Levinson-Durbin recursion, vectorized over frames.
+
+    ``autocorr [T, order+1] -> (lpc [T, order], residual energy E [T])``
+    (reference: ``Durbin``, mel-computations.cc:269-299). The recursion depth
+    is the static ``order`` (typically 12), so it is unrolled at trace time;
+    each step is vectorized over all frames (VPU work, negligible next to the
+    mel/FFT matmuls).
+    """
+    t = autocorr.shape[0]
+    e = autocorr[:, 0]
+    lp = jnp.zeros((t, order), autocorr.dtype)
+    for i in range(order):
+        ki = autocorr[:, i + 1]
+        for j in range(i):
+            ki = ki + lp[:, j] * autocorr[:, i - j]
+        ki = ki / e
+        c = jnp.maximum(1.0 - ki * ki, 1.0e-5)
+        e = e * c
+        new_cols = [lp[:, j] - ki * lp[:, i - j - 1] for j in range(i)]
+        new_cols.append(-ki)
+        upd = jnp.stack(new_cols, axis=1)
+        lp = jnp.concatenate([upd, lp[:, i + 1:]], axis=1)
+    return lp, e
+
+
+def lpc_to_cepstrum(lpc: jnp.ndarray, order: int) -> jnp.ndarray:
+    """LPC -> cepstrum recursion, vectorized over frames
+    (reference: ``Lpc2Cepstrum``, mel-computations.cc:302-311)."""
+    ceps = []
+    for i in range(order):
+        s = jnp.zeros(lpc.shape[0], lpc.dtype)
+        for j in range(i):
+            s = s + float(i - j) * lpc[:, j] * ceps[i - j - 1]
+        ceps.append(-lpc[:, i] - s / float(i + 1))
+    return jnp.stack(ceps, axis=1)
+
+
+def plp_from_frames(frames: jnp.ndarray, opts: PlpOptions, window: jnp.ndarray,
+                    mel_mat: jnp.ndarray, eql: jnp.ndarray, idft: jnp.ndarray,
+                    lifter: jnp.ndarray,
+                    dither_key: Optional[jax.Array] = None) -> jnp.ndarray:
+    """``[T, window_size] -> [T, num_ceps]`` PLP features
+    (reference: ``PlpComputer::Compute``, feat/feature-plp.cc:112-188)."""
+    fo = opts.frame_opts
+    mo = MfccOptions(frame_opts=fo, use_energy=opts.use_energy,
+                     energy_floor=opts.energy_floor, raw_energy=opts.raw_energy)
+    frames, log_energy = _process_window(frames, mo, window, dither_key)
+    padded = fo.padded_window_size
+    frames = jnp.pad(frames, ((0, 0), (0, padded - frames.shape[1])))
+    spec = jnp.fft.rfft(frames, axis=-1)
+    power = (spec.real**2 + spec.imag**2)[:, : padded // 2]
+    mel = jnp.dot(power, mel_mat.T, precision=jax.lax.Precision.HIGHEST)
+    mel = mel * eql[None, :]
+    mel = jnp.power(jnp.maximum(mel, FLT_EPS), opts.compress_factor)
+    # duplicate first/last bins (feature-plp.cc:152-154)
+    dup = jnp.concatenate([mel[:, :1], mel, mel[:, -1:]], axis=1)
+    autocorr = jnp.dot(dup, idft.T, precision=jax.lax.Precision.HIGHEST)
+    lpc, resid_e = durbin_lpc(autocorr, opts.lpc_order)
+    # residual_log_energy = log(E), floored like the reference (flt-min clamp)
+    resid_log_e = jnp.log(jnp.maximum(resid_e, np.finfo(np.float32).tiny))
+    resid_log_e = jnp.maximum(resid_log_e, np.finfo(np.float32).tiny)
+    raw_ceps = lpc_to_cepstrum(lpc, opts.lpc_order)
+    feat = jnp.concatenate([resid_log_e[:, None],
+                            raw_ceps[:, : opts.num_ceps - 1]], axis=1)
+    feat = feat * lifter[None, :]
+    if opts.cepstral_scale != 1.0:
+        feat = feat * opts.cepstral_scale
+    if opts.use_energy:
+        if opts.energy_floor > 0.0:
+            log_energy = jnp.maximum(log_energy, math.log(opts.energy_floor))
+        feat = feat.at[:, 0].set(log_energy)
+    return feat
+
+
+class PlpExtractor:
+    """PLP features (reference: ``PlpComputer``/``Plp``, feat/feature-plp.h:99-167):
+    mel spectrum -> equal-loudness -> cube-root compression -> IDFT to
+    autocorrelation -> Levinson-Durbin LPC -> cepstrum."""
+
+    def __init__(self, opts: PlpOptions = PlpOptions()):
+        if opts.num_ceps > opts.lpc_order + 1:
+            raise ValueError("num_ceps must be <= lpc_order + 1")
+        self.opts = opts
+        self.window = jnp.asarray(feature_window(opts.frame_opts))
+        self.mel_mat = jnp.asarray(
+            mel_bank_matrix(opts.mel_opts.num_bins, opts.frame_opts,
+                            opts.mel_opts.low_freq, opts.mel_opts.high_freq))
+        centers = mel_center_freqs(opts.mel_opts.num_bins, opts.frame_opts,
+                                   opts.mel_opts.low_freq, opts.mel_opts.high_freq)
+        self.eql = jnp.asarray(equal_loudness_vector(centers))
+        self.idft = jnp.asarray(
+            idft_bases(opts.lpc_order + 1, opts.mel_opts.num_bins + 2))
+        self.lifter = jnp.asarray(
+            lifter_coeffs(opts.num_ceps, opts.cepstral_lifter)
+            if opts.cepstral_lifter != 0.0
+            else np.ones(opts.num_ceps, np.float32))
+
+    @property
+    def dim(self) -> int:
+        return self.opts.num_ceps
+
+    def __call__(self, wave: np.ndarray, dither_key: Optional[jax.Array] = None) -> np.ndarray:
+        nf = self.opts.frame_opts.num_frames(len(wave))
+        if nf == 0:
+            return np.zeros((0, self.dim), np.float32)
+        out = self._single(jnp.asarray(wave, jnp.float32), nf, dither_key)
+        return np.asarray(out)
+
+    @functools.partial(jax.jit, static_argnums=(0, 2))
+    def _single(self, wave, num_frames, dither_key):
+        frames = extract_frames(wave, num_frames, self.opts.frame_opts)
+        return plp_from_frames(frames, self.opts, self.window, self.mel_mat,
+                               self.eql, self.idft, self.lifter, dither_key)
+
+    @functools.partial(jax.jit, static_argnums=(0, 3))
+    def batched(self, waves: jnp.ndarray, num_samples: jnp.ndarray, max_frames: int,
+                dither_keys: Optional[jax.Array] = None):
+        """``[B, S], [B] -> ([B, max_frames, num_ceps], [B] frame counts)``."""
+        fo = self.opts.frame_opts
+
+        def one(wave, key):
+            frames = extract_frames(wave, max_frames, fo)
+            return plp_from_frames(frames, self.opts, self.window, self.mel_mat,
+                                   self.eql, self.idft, self.lifter, key)
+
+        if dither_keys is None:
+            feats = jax.vmap(lambda w: one(w, None))(waves)
+        else:
+            feats = jax.vmap(one)(waves, dither_keys)
+        counts = jnp.where(
+            num_samples >= fo.window_size,
+            1 + (num_samples - fo.window_size) // fo.window_shift,
+            0,
+        )
+        return feats, counts
 
 
 # ---------------------------------------------------------------------------

@@ -82,3 +82,70 @@ def apply_cmvn_batch(feats: jnp.ndarray, spk_stats: jnp.ndarray, spk_ids: jnp.nd
         scale = 1.0 / jnp.sqrt(jnp.maximum(var, 1e-20))
         out = out * scale[:, None, :]
     return out
+
+def acc_cmvn_stats_two_channel(feats_a: np.ndarray, feats_b: np.ndarray,
+                               quieter_channel_weight: float = 0.01
+                               ) -> tuple[np.ndarray, np.ndarray]:
+    """Two-sided telephone CMVN: at each frame the louder channel (by C0,
+    i.e. energy) gets weight 1.0 and the quieter one a small weight
+    (reference: ``AccCmvnStatsForPair``,
+    featbin/compute-cmvn-stats-two-channel.cpp:79-106). Returns per-channel
+    ``[2, D+1]`` stats. If the channels differ in length they are
+    accumulated independently (reference :86-92)."""
+    d = feats_a.shape[1]
+    assert feats_b.shape[1] == d
+    if feats_a.shape[0] != feats_b.shape[0]:
+        return acc_cmvn_stats(feats_a), acc_cmvn_stats(feats_b)
+    a_louder = feats_a[:, 0] > feats_b[:, 0]
+    w_a = np.where(a_louder, 1.0, quieter_channel_weight)[:, None]
+    w_b = np.where(a_louder, quieter_channel_weight, 1.0)[:, None]
+
+    def weighted(feats, w):
+        stats = np.zeros((2, d + 1), np.float64)
+        stats[0, :d] = (w * feats).sum(axis=0)
+        stats[0, d] = w.sum()
+        stats[1, :d] = (w * feats.astype(np.float64) ** 2).sum(axis=0)
+        return stats.astype(np.float32)
+
+    return weighted(feats_a, w_a), weighted(feats_b, w_b)
+
+
+def utterance_pairs(reco2file_and_channel: list[tuple[str, str, str]]
+                    ) -> list[list[str]]:
+    """Group utterances into A/B-side pairs by call id (reference:
+    ``GetUtterancePairs``, compute-cmvn-stats-two-channel.cpp:33-71).
+    Input rows are ``(utt_id, call_id, side)``; calls without exactly two
+    sides fall back to singletons."""
+    by_call: dict[str, list[str]] = {}
+    for utt, call, _side in reco2file_and_channel:
+        by_call.setdefault(call, []).append(utt)
+    pairs = []
+    for call in sorted(by_call):
+        utts = by_call[call]
+        if len(utts) == 2:
+            pairs.append(utts)
+        else:
+            pairs.extend([u] for u in utts)
+    return pairs
+
+
+def modify_cmvn_stats(stats: np.ndarray, skip_dims: list[int] = (),
+                      convert_to_mean_and_var: bool = False) -> np.ndarray:
+    """``modify-cmvn-stats`` role (featbin/modify-cmvn-stats.cpp): fake out
+    the listed dims (zero mean, unit variance — ``FakeStatsForSomeDims``,
+    transform/cmvn.cc) and optionally convert sums to [mean; variance]."""
+    stats = np.array(stats, np.float64)
+    if stats.shape[0] != 2:
+        raise ValueError("CMVN stats must have two rows")
+    d = stats.shape[1] - 1
+    count = stats[0, d]
+    for i in skip_dims:
+        stats[0, i] = 0.0
+        stats[1, i] = count
+    if not convert_to_mean_and_var:
+        return stats.astype(np.float32)
+    if count <= 0.0:
+        raise ValueError("zero or negative count in CMVN stats")
+    mean = stats[0, :d] / count
+    var = stats[1, :d] / count - mean * mean
+    return np.stack([mean, var]).astype(np.float32)
