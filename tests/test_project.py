@@ -69,3 +69,29 @@ class TestProject:
         assert ops[("substitution", "NO", "YES")] == 1
         lo, mid, hi = wer_bootstrap_ci(refs, hyps, num_reps=200)
         assert lo <= mid <= hi
+
+
+class TestDecodeArtifacts:
+    def test_artifacts_and_ctm(self, project):
+        mono = project.load_model("mono")
+        hclg = project.mkgraph(mono, "mono")
+        res = project.decode(mono, hclg, opts=DecodeOptions(beam=1e9),
+                             out_name="mono")
+        out = project.exp_dir / "mono" / "decode"
+        for f in ("transcription.txt", "wer_table.txt", "per_utt_details.txt",
+                  "lattice_depth.txt", "ctm"):
+            assert (out / f).exists(), f
+        # CTM rows: utt chan start dur word, nonneg non-overlapping times
+        hyp = {}
+        last_end = {}
+        for line in (out / "ctm").read_text().splitlines():
+            utt, chan, start, dur, word = line.split()
+            start, dur = float(start), float(dur)
+            assert dur > 0 and start >= last_end.get(utt, 0.0) - 1e-6
+            last_end[utt] = start + dur
+            hyp.setdefault(utt, []).append(word)
+        # CTM word sequences match the written transcriptions
+        for line in (out / "transcription.txt").read_text().splitlines():
+            utt, *words = line.split()
+            if words:
+                assert hyp.get(utt) == words, (utt, hyp.get(utt), words)

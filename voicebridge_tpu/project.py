@@ -80,6 +80,7 @@ class Project:
         self.data_dir = self.root / "data"
         self.lang_dir = self.root / "lang"
         self.exp_dir = self.root / "exp"
+        self.frame_shift = 0.01  # updated by make_features from frame opts
         init_twin_log(self.root / "General.log")
         # in-memory caches
         self._train: DataDir | None = None
@@ -185,6 +186,7 @@ class Project:
         from .utils.io import ArrayArchive, write_archive
 
         mfcc_opts = mfcc_opts or MfccOptions()
+        self.frame_shift = mfcc_opts.frame_opts.frame_shift_ms / 1000.0
         for split, data in (("train", self.train_data), ("test", self.test_data)):
             arc_path = self.root / "feats" / split
             if not force and (arc_path / "index.json").exists():
@@ -346,6 +348,7 @@ class Project:
         if out_name:
             self._save_decode_artifacts(out_name, refs,
                                         hyps_by[result.best_lmwt], result)
+            self._save_ctm(out_name, sweep[result.best_lmwt], model)
             from .steps.diagnostic import lattice_depth_stats
             ds = lattice_depth_stats(lats)
             (self.exp_dir / out_name / "decode" / "lattice_depth.txt").write_text(
@@ -375,6 +378,28 @@ class Project:
             for u, ops in sorted(details.items()):
                 f.write(f"{u} " + " ".join(
                     f"{op}:{r or '*'}->{h or '*'}" for op, r, h in ops) + "\n")
+
+    def _save_ctm(self, name: str, results, model) -> None:
+        """Word-level CTM with exact times via positional-phone word
+        alignment (lattice-align-words + nbest-to-ctm roles)."""
+        if not self.lang.position_dependent:
+            return
+        from .lat.word_align import align_words_boundary, to_ctm
+
+        rows = []
+        for r in sorted(results, key=lambda x: x.utt):
+            if not r.tids:
+                continue
+            words = [self.lang.words.sym(w) for w in r.words]
+            segs = align_words_boundary(r.tids, words, model.trans_model,
+                                        self.lang)
+            if segs is None:
+                log.warning("ctm: word alignment failed for %s", r.utt)
+                continue
+            rows.extend(to_ctm(segs, r.utt, self.frame_shift))
+        out = self.exp_dir / name / "decode"
+        out.mkdir(parents=True, exist_ok=True)
+        (out / "ctm").write_text("\n".join(rows) + ("\n" if rows else ""))
 
     def decode_mbr(self, model: TrainedModel, hclg: Fst,
                    feat_kind: str = "delta", nbest: int = 4,

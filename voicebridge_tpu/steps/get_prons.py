@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from collections import Counter, defaultdict
 
+from ..lat.word_align import segment_words  # noqa: F401  (re-exported)
 from ..utils.logging import get_logger
 
 log = get_logger()
@@ -25,55 +26,6 @@ def _phone_run(trans_model, lang, tids):
     """Alignment -> list of base phone names (positional suffixes stripped)."""
     seg_phones, _ = trans_model.split_to_phones(tids)
     return [lang.base_phone_of.get(p, lang.phones.sym(p)) for p in seg_phones]
-
-
-def segment_words(phones: list, words: list, lexicon: dict,
-                  silence_phone: str = "SIL"):
-    """Viterbi segmentation of a phone run into
-    [optional sil] word1 [optional sil] word2 ... [optional sil].
-
-    Returns list of (word or None-for-sil, phones tuple) or None if the run
-    doesn't match the transcript."""
-    n = len(phones)
-    # state: (phone position, word index, 0=may-take-sil | 1=must-take-word)
-    import sys
-    sys.setrecursionlimit(10000)
-
-    memo: dict = {}
-
-    def solve(pos, widx):
-        """Returns segmentation list or None from phones[pos:] for
-        words[widx:] (leading optional silence allowed)."""
-        key = (pos, widx)
-        if key in memo:
-            return memo[key]
-        result = None
-        # optional silence run
-        sil_end = pos
-        while sil_end < n and phones[sil_end] == silence_phone:
-            sil_end += 1
-        for spos in (pos, sil_end) if sil_end > pos else (pos,):
-            sil_seg = [(None, tuple(phones[pos:spos]))] if spos > pos else []
-            if widx == len(words):
-                if spos == n:
-                    result = sil_seg
-                    break
-                continue
-            word = words[widx]
-            for _prob, pron in lexicon.get(word, ()):  # candidate prons
-                pron = tuple(pron)
-                k = len(pron)
-                if spos + k <= n and tuple(phones[spos:spos + k]) == pron:
-                    rest = solve(spos + k, widx + 1)
-                    if rest is not None:
-                        result = sil_seg + [(word, pron)] + rest
-                        break
-            if result is not None:
-                break
-        memo[key] = result
-        return result
-
-    return solve(0, 0)
 
 
 def get_prons(alignments: dict, transcripts_words: dict, trans_model, lang,
