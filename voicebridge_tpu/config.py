@@ -115,6 +115,10 @@ class MelOptions:
     high_freq: float = 0.0  # 0 => Nyquist; negative => Nyquist + high_freq
     vtln_low: float = 100.0
     vtln_high: float = -500.0
+    # HTK-exact mode (reference: mel-computations.h:52-55, a "hidden" config):
+    # floors mel energies at 1.0 before the log and replicates HTK's first-bin
+    # quirk; used by the golden-file tests against the shipped HTK features.
+    htk_mode: bool = False
 
 
 @dataclass(frozen=True)
@@ -126,6 +130,9 @@ class MfccOptions:
     energy_floor: float = 0.0
     raw_energy: bool = True
     cepstral_lifter: float = 22.0
+    # put energy/C0 last and scale C0 by sqrt(2) when use_energy=False
+    # (reference: feature-mfcc.h:47, feature-mfcc.cc:70-80)
+    htk_compat: bool = False
 
 
 @dataclass(frozen=True)
@@ -142,6 +149,7 @@ class PlpOptions:
     compress_factor: float = 0.33333
     cepstral_lifter: float = 22.0
     cepstral_scale: float = 1.0
+    htk_compat: bool = False  # reorder: energy/C0 last (feature-plp.cc:182)
 
 
 @dataclass(frozen=True)

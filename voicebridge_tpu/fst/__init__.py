@@ -13,4 +13,5 @@ from .compose import compose
 from .determinize import determinize_star
 from .minimize import minimize_encoded
 from .epsilon import remove_eps_local, rm_epsilon
+from .misc import randgen, replace, topsort
 from .shortest import shortest_distance, shortest_path

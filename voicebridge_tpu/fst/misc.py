@@ -90,7 +90,6 @@ def randgen(fst: Fst, npath: int = 1, seed: int = 0, weighted: bool = True,
     for _ in range(npath):
         cur_out = root
         s = fst.start
-        total = 0.0
         for _step in range(max_length):
             choices = list(fst.arcs[s])
             stop_cost = fst.finals[s]
@@ -98,8 +97,8 @@ def randgen(fst: Fst, npath: int = 1, seed: int = 0, weighted: bool = True,
                 costs = [a.weight for a in choices]
                 if stop_cost != ZERO:
                     costs.append(stop_cost)
-                if not costs:
-                    break  # dead end: drop path
+                if not costs or min(costs) == ZERO:
+                    break  # dead end (or all-infinite costs): drop path
                 w = np.exp(-(np.asarray(costs) - min(costs)))
                 p = w / w.sum()
                 k = int(rng.choice(len(costs), p=p))
@@ -109,14 +108,13 @@ def randgen(fst: Fst, npath: int = 1, seed: int = 0, weighted: bool = True,
                     break
                 k = int(rng.integers(nopt))
             if k == len(choices):  # chose to stop at a final state
-                out.set_final(cur_out, total + stop_cost)
+                out.set_final(cur_out, stop_cost)
                 break
             a = choices[k]
             nxt = out.add_state()
             out.add_arc(cur_out, a.ilabel, a.olabel, a.weight, nxt)
             cur_out = nxt
-            s = a.nextstate
-            total = 0.0  # weights carried on arcs; final picks up stop cost
+            s = a.nextstate  # path weight rides on the copied arcs
         else:
             if fst.finals[s] != ZERO:
                 out.set_final(cur_out, fst.finals[s])
@@ -152,7 +150,9 @@ def replace(root: Fst, replacements: dict[int, Fst],
                     if sub.start == NO_STATE_ID:
                         continue
                     off = out.add_states(sub.num_states)
-                    ilab = a.ilabel if epsilon_on_replace else a.ilabel
+                    # REPLACE_LABEL_NEITHER semantics: with epsilon_on_replace
+                    # the call arc consumes nothing on the input side
+                    ilab = EPS if epsilon_on_replace else a.ilabel
                     olab = EPS
                     out.add_arc(s, ilab, olab, a.weight, off + sub.start)
                     for ss in range(sub.num_states):

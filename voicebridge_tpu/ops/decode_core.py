@@ -1,0 +1,394 @@
+"""TPU-native Viterbi decode core: batch-minor state scores + in-degree rows.
+
+Replaces the token-passing hot loop of the reference decoder
+(``LatticeFasterDecoder::Decode``/``ProcessEmitting``,
+``kaldi-master/src/decoder/lattice-faster-decoder.cc:72-89``) with a dense
+arc-parallel relaxation designed around what is actually fast on TPU
+(measured, tools/exp_decode_variants.py):
+
+* **Batch-minor layout** ``alpha[S, B]``: every gather of a source state's
+  scores is a *row* gather (``B`` contiguous floats), which XLA:TPU lowers to
+  vector loads — element gathers in the lane dimension (round 1's
+  ``alpha[:, arc_src]`` with [B, A] results) run ~130x slower
+  (1.41 -> ~190+ audio-s/s at B=32 on one v5e chip).
+* **In-degree rows**: incoming arcs of each state are grouped by
+  ``(dst, pdf)`` into rows of width ``D`` (adapted to the run-length
+  distribution).  A row is pdf-pure, so the acoustic score is ONE gathered
+  value per row instead of one per arc.  Real HCLG graphs built with
+  reorder-style self-loops (``fst/hmm_graph.py add_self_loops``) have the
+  "all arcs entering a state share one pdf" property, so rows pack densely.
+* **One fused scan** over all frames per dispatch (no per-window Python
+  dispatch).  Backpointers are ONE integer per state per frame: the winner
+  code ``rowloc * D + slot`` (uint8 when ``max_rows_per_state * D <= 256``,
+  int16/int32 otherwise).  Winners propagate through the reduction tree by
+  equality-masked max — NOT take_along_axis, whose lane-wise element gather
+  is ~50x slower than the whole relaxation on TPU.
+* Backtrace runs on device as a tiny [T] scan; one host fetch at the end.
+
+Scores are max-plus (higher is better), like ``ops/viterbi.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .viterbi import NEG_INF, DenseGraph
+
+__all__ = [
+    "EmitPlan", "build_emit_plan", "plan_to_device", "viterbi_scan",
+    "decode_best_path",
+]
+
+
+class EmitPlan(NamedTuple):
+    """Host-built decode plan for a shared graph (see module docstring).
+
+    ``S`` counts real states; the plan appends one dead pad state (index
+    ``S``) whose score is pinned to NEG_INF so padded ``row_src`` entries are
+    harmless.  Rows are sorted by destination state, so the rows of state
+    ``s`` are ``row_start[s] : row_start[s+1]``.
+    """
+
+    row_src: np.ndarray  # [R, D] int32 source state per slot (pad: S)
+    row_w: np.ndarray  # [R, D] f32 graph score (pad: NEG_INF)
+    row_pdf: np.ndarray  # [R] int32 pdf shared by the row's arcs
+    row_arc: np.ndarray  # [R, D] int32 original arc id (pad: -1; host only)
+    row_start: np.ndarray  # [S+2] int32 CSR of rows per state
+    upper: tuple  # upper reduction levels: [L_i, K] int32 (-1 pad);
+    # level 1 indexes rows, the last level has exactly S+1 rows
+    num_states: int  # S (real states, excluding the pad state)
+    packed: bool  # True: bp code fits uint8 (else int16/int32)
+
+    @property
+    def num_rows(self) -> int:
+        return len(self.row_pdf)
+
+    @property
+    def d(self) -> int:
+        return self.row_w.shape[1]
+
+
+def _chunk_runs(run_starts, run_ends, elems, width):
+    """Chunk [start, end) runs over ``elems`` into [n_chunk, width] index rows
+    (-1 padded).  Returns (rows, chunk_run)."""
+    n = len(elems)
+    run_lens = run_ends - run_starts
+    cpr = -(-run_lens // width)
+    n_chunk = int(cpr.sum())
+    if n_chunk == 0:
+        return (np.zeros((0, width), np.int64),
+                np.zeros(0, np.int64))
+    first = np.concatenate([[0], np.cumsum(cpr[:-1])])
+    chunk_run = np.repeat(np.arange(len(run_starts)), cpr)
+    rank = np.arange(n_chunk) - first[chunk_run]
+    start = run_starts[chunk_run] + width * rank
+    pos = start[:, None] + np.arange(width)[None, :]
+    valid = pos < run_ends[chunk_run][:, None]
+    rows = np.where(valid, elems[np.minimum(pos, max(n - 1, 0))], -1)
+    return rows, chunk_run
+
+
+def _runs(key: np.ndarray):
+    n = len(key)
+    if n == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    b = np.flatnonzero(np.diff(key)) + 1
+    return (np.concatenate([[0], b]).astype(np.int64),
+            np.concatenate([b, [n]]).astype(np.int64))
+
+
+def build_emit_plan(graph: DenseGraph, d: Optional[int] = None,
+                    k_upper: int = 4) -> EmitPlan:
+    """Group ``graph``'s arcs by (dst, pdf) into rows and build the
+    row->state max-reduction levels.  ``d`` (row width) defaults to a value
+    adapted to the (dst, pdf) run-length distribution."""
+    s_real = graph.num_states
+    s_pad = s_real + 1
+    a = graph.num_arcs
+    dst = graph.arc_dst.astype(np.int64)
+    pdf = graph.arc_pdf.astype(np.int64)
+    num_pdfs = int(pdf.max()) + 1 if a else 1
+
+    order = np.argsort(dst * num_pdfs + pdf, kind="stable")
+    dst_s, pdf_s = dst[order], pdf[order]
+    run_starts, run_ends = _runs(dst_s * num_pdfs + pdf_s)
+
+    if d is None:
+        lens = run_ends - run_starts
+        if len(lens) == 0:
+            d = 2
+        else:
+            p90 = float(np.quantile(lens, 0.9))
+            d = int(min(8, max(2, 2 ** int(np.ceil(np.log2(max(p90, 2)))))))
+
+    arc_rows, chunk_run = _chunk_runs(run_starts, run_ends, order, d)
+    chunk_dst = dst_s[run_starts][chunk_run] if len(chunk_run) else \
+        np.zeros(0, np.int64)
+    chunk_pdf = pdf_s[run_starts][chunk_run] if len(chunk_run) else \
+        np.zeros(0, np.int64)
+
+    # every state (incl. the pad state) needs at least one row; add dead rows
+    # for row-less states so the reduction covers all of them
+    have = np.zeros(s_pad, bool)
+    have[chunk_dst] = True
+    missing = np.flatnonzero(~have)
+    row_dst = np.concatenate([chunk_dst, missing]).astype(np.int64)
+    row_pdf_all = np.concatenate([chunk_pdf, np.zeros(len(missing), np.int64)])
+    row_arc = np.concatenate(
+        [arc_rows, np.full((len(missing), d), -1, np.int64)], axis=0)
+
+    # sort rows by destination so each state's rows are contiguous
+    row_order = np.argsort(row_dst, kind="stable")
+    row_dst = row_dst[row_order]
+    row_pdf_all = row_pdf_all[row_order].astype(np.int32)
+    row_arc = row_arc[row_order].astype(np.int32)
+    r = len(row_dst)
+
+    rvalid = row_arc >= 0
+    safe = np.maximum(row_arc, 0)
+    row_src = np.where(rvalid, graph.arc_src[safe], s_real).astype(np.int32)
+    row_w = np.where(rvalid, graph.arc_score[safe], NEG_INF).astype(np.float32)
+
+    row_start = np.zeros(s_pad + 1, np.int64)
+    np.add.at(row_start, row_dst + 1, 1)
+    row_start = np.cumsum(row_start).astype(np.int32)
+    max_rows = int(np.diff(row_start).max())
+    # bp code = rowloc * d + slot, stored as uint8 when it fits, else int16
+    assert max_rows * d < 2 ** 15, \
+        f"state with {max_rows} rows exceeds the int16 bp code range"
+    packed = max_rows * d <= 256
+
+    # upper levels: repeatedly chunk rows-of-equal-state by k_upper until one
+    # row per state
+    upper = []
+    elems = np.arange(r, dtype=np.int64)
+    groups = row_dst
+    while True:
+        rs, re = _runs(groups)
+        idx, cr = _chunk_runs(rs, re, elems, k_upper)
+        g2 = groups[rs][cr]
+        if int((-(-np.diff(np.concatenate([rs, [len(groups)]])[:len(rs) + 1])
+                  // k_upper)).max() if len(rs) else 1) <= 1 or \
+                len(idx) == len(np.unique(g2)):
+            final = np.full((s_pad, k_upper), -1, np.int64)
+            final[g2] = idx
+            upper.append(final.astype(np.int32))
+            break
+        upper.append(idx.astype(np.int32))
+        elems = np.arange(len(idx), dtype=np.int64)
+        groups = g2
+
+    assert int(row_start[-1]) == r
+    return EmitPlan(row_src=row_src, row_w=row_w, row_pdf=row_pdf_all,
+                    row_arc=row_arc, row_start=row_start,
+                    upper=tuple(upper), num_states=s_real, packed=packed)
+
+
+class EmitPlanDev(NamedTuple):
+    """Device half of an EmitPlan (pure array pytree for jit)."""
+
+    row_src: jnp.ndarray  # [R*D] flattened
+    row_w: jnp.ndarray  # [R, D]
+    row_pdf: jnp.ndarray  # [R]
+    row_start: jnp.ndarray  # [S+2]
+    upper: tuple
+
+
+def plan_to_device(plan: EmitPlan) -> EmitPlanDev:
+    return EmitPlanDev(
+        row_src=jnp.asarray(plan.row_src.reshape(-1)),
+        row_w=jnp.asarray(plan.row_w),
+        row_pdf=jnp.asarray(plan.row_pdf),
+        row_start=jnp.asarray(plan.row_start),
+        upper=tuple(jnp.asarray(u) for u in plan.upper),
+    )
+
+
+def _bp_dtype(plan_packed: bool):
+    return jnp.uint8 if plan_packed else jnp.int16
+
+
+def _emit_step(alpha, ll_t, dev: EmitPlanDev, acwt, packed: bool, beam=None):
+    """One frame of relaxation.  alpha [S+1, B], ll_t [P, B].
+
+    Returns (new_alpha [S+1, B], bp [S+1, B]) where bp is the winner code
+    ``rowloc * D + slot`` relative to the state's first row.
+    """
+    r, d_w = dev.row_w.shape
+    b = alpha.shape[1]
+    am = jnp.take(ll_t, dev.row_pdf, axis=0) * acwt  # [R, B]
+    g = jnp.take(alpha, dev.row_src, axis=0).reshape(r, d_w, b) \
+        + dev.row_w[:, :, None]
+    slot = jnp.argmax(g, axis=1)  # [R, B] int32 (axis reduction: VPU-cheap)
+    v = jnp.max(g, axis=1) + am  # [R, B]
+    # winner code = global_row * D + slot; propagated through the tree by
+    # equality-masked max (take_along_axis would be an element gather)
+    code = jnp.arange(r, dtype=jnp.int32)[:, None] * d_w + slot  # [R, B]
+    for idx in dev.upper:
+        l, k = idx.shape
+        safe = jnp.maximum(idx, 0).reshape(-1)
+        valid = (idx >= 0)[:, :, None]
+        cand = jnp.where(valid, jnp.take(v, safe, axis=0).reshape(l, k, b),
+                         NEG_INF)
+        ccode = jnp.where(valid, jnp.take(code, safe, axis=0).reshape(l, k, b),
+                          -1)
+        v = jnp.max(cand, axis=1)  # [L, B]
+        # exact-equality tie-break: any maximal candidate's code is a valid
+        # backpointer; take the largest so (value, code) stay consistent
+        code = jnp.max(jnp.where(cand == v[:, None, :], ccode, -1), axis=1)
+    # v, code now have S+1 rows (state-indexed)
+    if beam is not None:
+        best = jnp.max(v, axis=0, keepdims=True)
+        v = jnp.where(v >= best - beam, v, NEG_INF)
+    bp = code - dev.row_start[:-1, None] * d_w
+    return v, bp.astype(_bp_dtype(packed))
+
+
+@functools.partial(jax.jit, static_argnames=("packed", "use_beam"))
+def viterbi_scan(dev: EmitPlanDev, alpha, alpha_at_end, loglikes, num_frames,
+                 t0, acoustic_scale, beam, packed: bool,
+                 use_beam: bool = False):
+    """Forward Viterbi over a block of frames in ONE compiled scan, resuming
+    from (alpha, alpha_at_end) at absolute frame ``t0``.
+
+    loglikes [B, T, P]; num_frames [B].  Returns
+    ((alpha [S+1, B], alpha_at_end [S+1, B]), bp) with bp stacked over T.
+    """
+    ll = jnp.transpose(loglikes, (1, 2, 0))  # [T, P, B]
+
+    def step(carry, ll_t):
+        a, ae, t = carry
+        new_alpha, bp = _emit_step(
+            a, ll_t, dev, acoustic_scale, packed, beam if use_beam else None)
+        active = (t < num_frames)[None, :]
+        a = jnp.where(active, new_alpha, a)
+        at_end = (t + 1 == num_frames)[None, :]
+        ae = jnp.where(at_end, a, ae)
+        return (a, ae, t + 1), bp
+
+    (a, ae, _), bps = jax.lax.scan(step, (alpha, alpha_at_end, t0), ll)
+    return (a, ae), bps
+
+
+@jax.jit
+def backtrace_scan(row_start, row_src_flat, d, bps, end_state, num_frames, t0):
+    """Device backtrace over one block's backpointers (frames [t0, t0+W)).
+
+    bps [W, S+1, B] winner codes.  Returns (rows [W, B] int32,
+    slots [W, B] int32) in forward frame order (-1 where inactive) and the
+    carried state [B] at the block start.
+    """
+    w = bps.shape[0]
+    b = bps.shape[2]
+    bidx = jnp.arange(b)
+
+    def step(carry, bp_t):
+        s, t = carry
+        active = t < num_frames
+        code = bp_t[s, bidx].astype(jnp.int32)  # [B]
+        row = row_start[s] + code // d
+        dsel = code % d
+        src = row_src_flat[row * d + dsel]
+        row_o = jnp.where(active, row, -1)
+        dsel_o = jnp.where(active, dsel, -1)
+        s = jnp.where(active, src, s)
+        return (s, t - 1), (row_o, dsel_o)
+
+    (state, _), (rows_rev, slots_rev) = jax.lax.scan(
+        step, (end_state, t0 + w - 1), bps[::-1])
+    return rows_rev[::-1], slots_rev[::-1], state
+
+
+def decode_best_path(graph: DenseGraph, plan: EmitPlan, dev: EmitPlanDev,
+                     loglikes, num_frames, acoustic_scale: float,
+                     beam: Optional[float] = None,
+                     chunk: Optional[int] = None) -> list[dict]:
+    """Full 1-best decode: forward scan + device backtrace + host assembly.
+
+    Same output structure as ``viterbi.backtrace_shared``:
+    [{"tids", "words", "score", "arcs"}] per utterance.  ``chunk`` bounds the
+    scan length per dispatch (memory control for very long T); chunks carry
+    ``alpha`` forward and the backtrace walks them in reverse.
+    """
+    b, t_total, _p = loglikes.shape
+    nf = jnp.asarray(num_frames, jnp.int32)
+    alpha0 = jnp.concatenate(
+        [jnp.asarray(graph.alpha0), jnp.full((1,), NEG_INF, jnp.float32)])
+    acwt = jnp.float32(acoustic_scale)
+    use_beam = beam is not None
+    beam_j = jnp.float32(beam if use_beam else 0.0)
+    s1 = plan.num_states + 1
+
+    alpha = jnp.broadcast_to(alpha0[:, None], (s1, b))
+    alpha_end = jnp.where((nf == 0)[None, :], alpha,
+                          jnp.full((s1, b), NEG_INF))
+    step_t = t_total if chunk is None else min(chunk, t_total)
+    chunks = []
+    for lo in range(0, t_total, step_t):
+        (alpha, alpha_end), bps = viterbi_scan(
+            dev, alpha, alpha_end, loglikes[:, lo:lo + step_t], nf,
+            jnp.int32(lo), acwt, beam_j, plan.packed, use_beam)
+        chunks.append((lo, bps))
+
+    # choose end state per utterance (host: [S+1, B] fetch)
+    alpha_end_np = np.asarray(alpha_end)[: graph.num_states]
+    nf_np = np.asarray(num_frames)
+    total = alpha_end_np + graph.final_score[:, None]
+    end_state = np.zeros(b, np.int32)
+    scores = np.full(b, -np.inf, np.float64)
+    use_final = np.zeros(b, bool)
+    has_path = np.zeros(b, bool)
+    best_final = total.max(axis=0)
+    best_any = alpha_end_np.max(axis=0)
+    for i in range(b):
+        if best_final[i] > NEG_INF / 2:
+            end_state[i] = int(np.argmax(total[:, i]))
+            scores[i] = float(best_final[i])
+            use_final[i] = has_path[i] = True
+        elif best_any[i] > NEG_INF / 2:
+            end_state[i] = int(np.argmax(alpha_end_np[:, i]))
+            scores[i] = float(best_any[i])
+            has_path[i] = True
+
+    # backtrace chunks in reverse, carrying the state
+    d = jnp.int32(plan.d)
+    state = jnp.asarray(end_state)
+    rows_parts, slot_parts = [], []
+    for lo, bps in reversed(chunks):
+        rows_c, slots_c, state = backtrace_scan(
+            dev.row_start, dev.row_src, d, bps, state, nf, jnp.int32(lo))
+        rows_parts.append(rows_c)
+        slot_parts.append(slots_c)
+    rows_all = np.asarray(jnp.concatenate(rows_parts[::-1], axis=0))
+    slots_all = np.asarray(jnp.concatenate(slot_parts[::-1], axis=0))
+
+    out = []
+    for i in range(b):
+        n = int(nf_np[i])
+        if not has_path[i]:
+            out.append({"tids": [], "words": [], "score": -np.inf, "arcs": []})
+            continue
+        rows_i = rows_all[:n, i]
+        slots_i = slots_all[:n, i]
+        arcs = plan.row_arc[rows_i, slots_i] if n else np.zeros(0, np.int64)
+        if n and (arcs < 0).any():
+            out.append({"tids": [], "words": [], "score": -np.inf, "arcs": []})
+            continue
+        start_s = int(graph.arc_src[arcs[0]]) if n else int(end_state[i])
+        words = list(graph.oseqs[graph.start_oseq[start_s]])
+        for a in arcs:
+            words.extend(graph.oseqs[graph.arc_oseq[a]])
+        if use_final[i]:
+            words.extend(graph.oseqs[graph.final_oseq[end_state[i]]])
+        out.append({
+            "tids": [int(t) for t in graph.arc_tid[arcs]],
+            "words": words,
+            "score": float(scores[i]),
+            "arcs": [int(a) for a in arcs],
+        })
+    return out

@@ -219,13 +219,20 @@ def mfcc_from_frames(frames: jnp.ndarray, opts: MfccOptions, window: jnp.ndarray
     # Full fp32 precision: on TPU the default matmul precision is bf16, which
     # is fine for GMM scoring bulk math but not for the log-mel/DCT stages.
     mel = jnp.dot(power, mel_mat.T, precision=jax.lax.Precision.HIGHEST)
-    logmel = jnp.log(jnp.maximum(mel, FLT_EPS))
+    # htk_mode floors mel energies at 1.0 like HTK (MelBanks::Compute,
+    # mel-computations.cc:238)
+    logmel = jnp.log(jnp.maximum(mel, 1.0 if opts.mel_opts.htk_mode else FLT_EPS))
     ceps = jnp.dot(logmel, dct_mat.T, precision=jax.lax.Precision.HIGHEST)
     ceps = ceps * lifter[None, :]
     if opts.use_energy:
         if opts.energy_floor > 0.0:
             log_energy = jnp.maximum(log_energy, math.log(opts.energy_floor))
         ceps = ceps.at[:, 0].set(log_energy)
+    if opts.htk_compat:
+        # energy/C0 moves last; C0 regains the sqrt(2) DCT scale when it is a
+        # true cepstral coefficient (feature-mfcc.cc:70-80)
+        energy = ceps[:, 0] * (1.0 if opts.use_energy else math.sqrt(2.0))
+        ceps = jnp.concatenate([ceps[:, 1:], energy[:, None]], axis=1)
     return ceps
 
 
@@ -315,7 +322,8 @@ class FbankExtractor:
         spec = jnp.fft.rfft(frames, axis=-1)
         power = (spec.real**2 + spec.imag**2)[:, : padded // 2]
         mel = jnp.dot(power, self.mel_mat.T, precision=jax.lax.Precision.HIGHEST)
-        logmel = jnp.log(jnp.maximum(mel, FLT_EPS))
+        floor = 1.0 if self.opts.mel_opts.htk_mode else FLT_EPS
+        logmel = jnp.log(jnp.maximum(mel, floor))
         if self.use_energy:
             logmel = jnp.concatenate([log_energy[:, None], logmel], axis=1)
         return np.asarray(logmel)
@@ -436,6 +444,8 @@ def plp_from_frames(frames: jnp.ndarray, opts: PlpOptions, window: jnp.ndarray,
     spec = jnp.fft.rfft(frames, axis=-1)
     power = (spec.real**2 + spec.imag**2)[:, : padded // 2]
     mel = jnp.dot(power, mel_mat.T, precision=jax.lax.Precision.HIGHEST)
+    if opts.mel_opts.htk_mode:
+        mel = jnp.maximum(mel, 1.0)  # HTK energy floor (mel-computations.cc:238)
     mel = mel * eql[None, :]
     mel = jnp.power(jnp.maximum(mel, FLT_EPS), opts.compress_factor)
     # duplicate first/last bins (feature-plp.cc:152-154)
@@ -455,6 +465,9 @@ def plp_from_frames(frames: jnp.ndarray, opts: PlpOptions, window: jnp.ndarray,
         if opts.energy_floor > 0.0:
             log_energy = jnp.maximum(log_energy, math.log(opts.energy_floor))
         feat = feat.at[:, 0].set(log_energy)
+    if opts.htk_compat:
+        # reorder only: energy/C0 last (feature-plp.cc:182-187)
+        feat = jnp.concatenate([feat[:, 1:], feat[:, :1]], axis=1)
     return feat
 
 

@@ -336,19 +336,23 @@ class Project:
             test_feats = self.feats("test", feat_kind)
         utts, feats, nf = self._test_batch(test_feats)
         dec = Decoder(hclg, model.trans_model, model.am, opts)
-        lmwts = list(range(opts.min_lmwt, opts.max_lmwt + 1, 3))
+        lmwts = list(range(opts.min_lmwt, opts.max_lmwt + 1))
         # the reference's scoring design: one lattice decode, host-side
-        # LatticeScale per LMWT (score_kaldi_wer.cpp:279-289)
-        sweep, lats = dec.decode_sweep_lattice(utts, feats, nf, lmwts)
+        # LatticeScale x AddPenalty per (LMWT, WIP) grid point
+        # (score_kaldi_wer.cpp:93-111, 279-356)
+        sweep, lats = dec.decode_sweep_lattice(utts, feats, nf, lmwts,
+                                               opts.word_ins_penalties)
         refs = {u: list(self.test_data.text[u]) for u in utts}
-        hyps_by = {w: {r.utt: [self.lang.words.sym(x) for x in r.words]
-                       for r in rs} for w, rs in sweep.items()}
-        result = score_sweep(refs, hyps_by, opts.word_ins_penalties)
-        log.info("decode: best %s at LMWT %d", result.best_wer, result.best_lmwt)
+        hyps_by = {k: {r.utt: [self.lang.words.sym(x) for x in r.words]
+                       for r in rs} for k, rs in sweep.items()}
+        result = score_sweep(refs, hyps_by)
+        log.info("decode: best %s at LMWT %d WIP %.1f", result.best_wer,
+                 result.best_lmwt, result.best_wip)
         if out_name:
+            best_key = (result.best_lmwt, result.best_wip)
             self._save_decode_artifacts(out_name, refs,
-                                        hyps_by[result.best_lmwt], result)
-            self._save_ctm(out_name, sweep[result.best_lmwt], model)
+                                        hyps_by[best_key], result)
+            self._save_ctm(out_name, sweep[best_key], model)
             from .steps.diagnostic import lattice_depth_stats
             ds = lattice_depth_stats(lats)
             (self.exp_dir / out_name / "decode" / "lattice_depth.txt").write_text(

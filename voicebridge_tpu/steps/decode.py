@@ -40,29 +40,51 @@ class DecodeResult:
 class Decoder:
     def __init__(self, hclg: Fst, trans_model: TransitionModel, am: AmDiagGmm,
                  opts: DecodeOptions = DecodeOptions()):
+        from ..ops import decode_core as DC
+
         self.graph = V.compile_dense_graph(hclg, trans_model.tid2pdf)
-        self.levels = V.build_reduction_plan(self.graph.arc_dst,
-                                             self.graph.num_states, k=8).levels
+        self.plan = DC.build_emit_plan(self.graph)
+        self.plan_dev = DC.plan_to_device(self.plan)
         self.trans_model = trans_model
         self.opts = opts
         self.params = K.pack_gmm(am)
-        log.info("decoder: graph states=%d arcs(eps-free)=%d reduce-depth=%d",
-                 self.graph.num_states, self.graph.num_arcs, len(self.levels))
+        self._levels = None
+        log.info("decoder: graph states=%d arcs(eps-free)=%d rows=%d d=%d "
+                 "packed-bp=%s", self.graph.num_states, self.graph.num_arcs,
+                 self.plan.num_rows, self.plan.d, self.plan.packed)
+
+    @property
+    def levels(self):
+        """Reduction-plan levels for the lattice forward-backward path
+        (built lazily; best-path decoding no longer uses them)."""
+        if self._levels is None:
+            self._levels = V.build_reduction_plan(
+                self.graph.arc_dst, self.graph.num_states, k=8).levels
+        return self._levels
+
+    def _bp_chunk(self, b: int) -> int:
+        """Frames per forward-scan dispatch so the backpointer block stays
+        under ~1 GB (remote-worker allocation-fragility bound)."""
+        bytes_per_frame = (self.plan.num_states + 1) * b * \
+            (1 if self.plan.packed else 2)
+        return max(32, int(1e9 // max(bytes_per_frame, 1)))
 
     def decode_batch(self, utts: list[str], feats: np.ndarray,
                      num_frames: np.ndarray,
                      acoustic_scale: float | None = None,
                      keep_tids: bool = False) -> list[DecodeResult]:
-        """feats [B, T, D] padded; returns per-utterance best paths."""
+        """feats [B, T, D] padded; returns per-utterance best paths.
+
+        Search is EXACT (infinite beam): the dense relaxation touches every
+        state each frame regardless, so pruning would save nothing and can
+        only lose paths (the reference's beam exists for CPU token passing)."""
+        from ..ops import decode_core as DC
+
         acwt = self.opts.acoustic_scale if acoustic_scale is None else acoustic_scale
-        g = self.graph
         ll = K.loglikes_batch(self.params, jnp.asarray(feats))
-        # memory-bounded two-phase decode: snapshots instead of [T,B,S] bps
-        paths = V.viterbi_decode_windowed(
-            g, self.levels, ll, np.asarray(num_frames),
-            acoustic_scale=acwt, beam=self.opts.beam,
-            window=min(64, max(8, int(np.max(num_frames)))),
-            max_active=self.opts.max_active)
+        paths = DC.decode_best_path(
+            self.graph, self.plan, self.plan_dev, ll, np.asarray(num_frames),
+            acoustic_scale=acwt, chunk=self._bp_chunk(feats.shape[0]))
         out = []
         for u, r in zip(utts, paths):
             out.append(DecodeResult(u, r["words"], r["score"],
@@ -103,24 +125,29 @@ class Decoder:
 
     def decode_sweep_lattice(self, utts: list[str], feats: np.ndarray,
                              num_frames: np.ndarray, lmwts: list[int],
-                             word_penalty: float = 0.0) -> tuple[dict, dict]:
+                             word_ins_penalties: tuple = (0.0,)
+                             ) -> tuple[dict, dict]:
         """The reference's scoring design (``score_kaldi_wer.cpp:279-356``):
-        decode ONCE into lattices at the training acoustic scale, then rescale
-        per LMWT on the host (``lattice-scale`` role) — no re-decode.
+        decode ONCE into lattices at the training acoustic scale, then per
+        (LMWT, WIP) grid point rescale + add word-insertion penalty + best
+        path on the host (``lattice-scale`` -> ``lattice-add-penalty`` ->
+        ``lattice-best-path``) — no re-decode.
 
-        Returns ({lmwt: [DecodeResult]}, {utt: Lattice})."""
+        Returns ({(lmwt, wip): [DecodeResult]}, {utt: Lattice})."""
         from ..lat import lattice_best_path
 
         lats = self.decode_lattice(utts, feats, num_frames)
         sweep = {}
         for w in lmwts:
-            res = []
-            for u in utts:
-                p = lattice_best_path(lats[u], lm_scale=1.0,
-                                      acoustic_scale=1.0 / w,
-                                      word_penalty=word_penalty)
-                res.append(DecodeResult(u, p["words"], p["score"], p["tids"]))
-            sweep[w] = res
+            for wip in word_ins_penalties:
+                res = []
+                for u in utts:
+                    p = lattice_best_path(lats[u], lm_scale=1.0,
+                                          acoustic_scale=1.0 / w,
+                                          word_penalty=wip)
+                    res.append(DecodeResult(u, p["words"], p["score"],
+                                            p["tids"]))
+                sweep[(w, wip)] = res
         return sweep, lats
 
     def decode_nbest(self, utts: list[str], feats: np.ndarray,

@@ -122,19 +122,20 @@ class SweepResult:
     table: dict = field(default_factory=dict)  # (lmwt, wip) -> WerStats
 
 
-def score_sweep(refs: dict, hyps_by_lmwt: dict, word_ins_penalties=(0.0, 0.5, 1.0),
-                hyp_scores_by_lmwt: dict | None = None) -> SweepResult:
-    """Pick best (LMWT, WIP) (BestWer).  With exact per-LMWT re-decoding the
-    WIP would require another decode per value; penalties are applied as a
-    selection among existing hypotheses when scores are provided, else WIP
-    sweep degenerates to the LMWT sweep only."""
+def score_sweep(refs: dict, hyps_by_point: dict) -> SweepResult:
+    """Pick the best grid point (``BestWer``, ``best_wer.cpp``).
+
+    ``hyps_by_point`` maps either ``(lmwt, wip)`` or plain ``lmwt`` keys to
+    ``{utt: [words]}`` hypothesis dicts (plain keys are treated as WIP=0,
+    for callers that sweep LMWT only)."""
     out = SweepResult()
     best = None
-    for lmwt, hyps in sorted(hyps_by_lmwt.items()):
+    for key, hyps in sorted(hyps_by_point.items()):
+        lmwt, wip = key if isinstance(key, tuple) else (key, 0.0)
         stats = compute_wer_set(refs, hyps)
-        out.table[(lmwt, 0.0)] = stats
+        out.table[(lmwt, wip)] = stats
         if best is None or stats.wer < best[0].wer:
-            best = (stats, lmwt, 0.0)
+            best = (stats, lmwt, wip)
     out.best_wer, out.best_lmwt, out.best_wip = best
     return out
 
