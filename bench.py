@@ -54,8 +54,9 @@ def run_config(num_states: int, b: int, t: int):
 
     from voicebridge_tpu.models.gmm import AmDiagGmm
     from voicebridge_tpu.ops import decode_core as DC
-    from voicebridge_tpu.ops import gmm_kernels as K
     from voicebridge_tpu.ops import viterbi as V
+    from voicebridge_tpu.ops.pallas_gmm import (loglikes_batch_pallas,
+                                                pack_gmm_pallas)
 
     rng = np.random.default_rng(1)
     num_pdfs, max_mix, dim = 2000, 5, 39  # ~10k Gaussians (DELTA+SAT scale)
@@ -64,7 +65,7 @@ def run_config(num_states: int, b: int, t: int):
         np.abs(rng.standard_normal((num_pdfs, max_mix, dim))).astype(np.float32) + 0.5,
         np.full((num_pdfs, max_mix), 1.0 / max_mix, np.float32),
     )
-    params = K.pack_gmm(am)
+    params = pack_gmm_pallas(am)  # fused Pallas loglik kernel (the prod path)
     arc_src, arc_dst, arc_pdf, arc_score, alpha0 = synth_decode_graph(
         num_states=num_states, num_pdfs=num_pdfs)
     graph = V.DenseGraph(
@@ -80,7 +81,7 @@ def run_config(num_states: int, b: int, t: int):
     num_frames = np.full((b,), t, np.int32)
 
     def decode_full():
-        ll = K.loglikes_batch(params, feats)
+        ll = loglikes_batch_pallas(params, feats, num_pdfs)
         return DC.decode_best_path(graph, plan, dev, ll, num_frames,
                                    acoustic_scale=1.0 / 13.0, chunk=500)
 
@@ -102,9 +103,11 @@ def run_config(num_states: int, b: int, t: int):
 
 
 CONFIGS = [
-    # (num_states, batch, frames, timeout_s); CONFIGS[0] is the flagship
-    (60_000, 32, 1000, 1500),
-    (60_000, 16, 500, 900),
+    # (num_states, batch, frames, timeout_s); CONFIGS[0] is the flagship.
+    # B=128 fills the TPU lane dimension: alpha is [S+1, B] batch-minor, so
+    # every backpointer-table row gather moves a full 512-byte lane row.
+    (60_000, 128, 1000, 1500),
+    (60_000, 32, 1000, 1200),
     (20_000, 8, 200, 600),
     (6_000, 8, 100, 600),
 ]

@@ -180,15 +180,16 @@ class MonoTrainOptions:
     num_iters: int = 40
     max_iter_inc: int = 30
     totgauss: int = 1000
-    careful: bool = False
     boost_silence: float = 1.0
     realign_iters: tuple = tuple(
         [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 12, 14, 16, 18, 20, 23, 26, 29, 32, 35, 38]
     )
     power: float = 0.25  # exponent to determine number of gaussians from occurrence counts
-    beam: float = 6.0  # alignment beam on iteration 1
-    regular_beam: float = 10.0  # alignment beam after iteration 1
-    retry_beam: float = 40.0
+    # NOTE: the reference's alignment beam/retry_beam/careful knobs
+    # (gmm-align-compiled, decoder-wrappers.cc:424) bound CPU token-passing
+    # cost and recover from over-pruning; alignment here is EXACT device
+    # Viterbi (beam=inf), which cannot over-prune, so those knobs have no
+    # semantics and are intentionally absent.
     transition_scale: float = 1.0
     acoustic_scale: float = 0.1
     self_loop_scale: float = 0.1
@@ -209,10 +210,9 @@ class TriTrainOptions:
     realign_iters: tuple = (10, 20, 30)
     mllt_iters: tuple = (2, 4, 6, 12)  # train_lda_mllt.cpp:122
     fmllr_iters: tuple = (2, 4, 6, 12)  # train_sat.cpp
-    careful: bool = False
     boost_silence: float = 1.0
-    beam: float = 10.0
-    retry_beam: float = 40.0
+    # beam/retry_beam/careful intentionally absent: exact device alignment
+    # (see MonoTrainOptions)
     transition_scale: float = 1.0
     acoustic_scale: float = 0.1
     self_loop_scale: float = 0.1
@@ -233,17 +233,6 @@ class LdaOptions:
     allow_large_dim: bool = False
 
 
-@dataclass(frozen=True)
-class AlignOptions:
-    beam: float = 10.0
-    retry_beam: float = 40.0
-    careful: bool = False
-    transition_scale: float = 1.0
-    acoustic_scale: float = 1.0
-    self_loop_scale: float = 0.1
-    boost_silence: float = 1.0
-
-
 # ---------------------------------------------------------------------------
 # Decode / scoring options (reference: decode_gmm.cpp, score_kaldi_wer.cpp)
 # ---------------------------------------------------------------------------
@@ -251,9 +240,13 @@ class AlignOptions:
 
 @dataclass(frozen=True)
 class DecodeOptions:
+    # beam/max_active prune the device lattice forward-backward pass
+    # (ops/lattice.py); best-path decoding is exact and ignores them.
+    # min_active (adaptive beam growth, lattice-faster-decoder.cc GetCutoff)
+    # is intentionally absent: the dense relaxation cannot starve the
+    # frontier, so there is nothing to grow the beam for.
     beam: float = 13.0
     max_active: int = 7000
-    min_active: int = 200
     lattice_beam: float = 6.0
     acoustic_scale: float = 0.083333
     # Scoring sweep (score_kaldi_wer.cpp: LMWT 7..17 x WIP {0.0,0.5,1.0})

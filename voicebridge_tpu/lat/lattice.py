@@ -353,11 +353,17 @@ def lattice_mbr(lat: Lattice, n: int = 20, lm_scale: float = 1.0,
                 acoustic_scale: float = 1.0,
                 word_penalty: float = 0.0) -> tuple[list, list]:
     """Minimum-Bayes-risk word sequence via confusion network over the
-    lattice's N best word sequences (``lattice-mbr-decode`` / sausages role;
-    ``lat/sausages.h:76``).  Returns (words, per-word confidences)."""
+    TRUE-determinized lattice's N best word sequences (``lattice-mbr-decode``
+    / sausages role; ``lat/sausages.h:76`` — the reference also determinizes
+    before MBR, ``lattice-mbr-decode.cc``).  Returns (words, confidences)."""
     from ..steps.mbr import mbr_decode
+    from .determinize import determinize_lattice_pruned_safe
 
-    hyps = lattice_nbest(lat, n, lm_scale, acoustic_scale, word_penalty)
+    clat = determinize_lattice_pruned_safe(
+        lat, beam=10.0, lm_scale=lm_scale, acoustic_scale=acoustic_scale)
+    hyps = clat.nbest(n, lm_scale, acoustic_scale, word_penalty)
+    if not hyps:  # degenerate lattice: fall back to the state-level DP
+        hyps = lattice_nbest(lat, n, lm_scale, acoustic_scale, word_penalty)
     return mbr_decode([(h["words"], h["score"]) for h in hyps])
 
 

@@ -279,9 +279,9 @@ def viterbi_scan(dev: EmitPlanDev, alpha, alpha_at_end, loglikes, num_frames,
 def backtrace_scan(row_start, row_src_flat, d, bps, end_state, num_frames, t0):
     """Device backtrace over one block's backpointers (frames [t0, t0+W)).
 
-    bps [W, S+1, B] winner codes.  Returns (rows [W, B] int32,
-    slots [W, B] int32) in forward frame order (-1 where inactive) and the
-    carried state [B] at the block start.
+    bps [W, S+1, B] winner codes.  Returns packed global codes
+    ``row * D + slot`` [W, B] int32 in forward frame order (-1 where
+    inactive) and the carried state [B] at the block start.
     """
     w = bps.shape[0]
     b = bps.shape[2]
@@ -291,17 +291,38 @@ def backtrace_scan(row_start, row_src_flat, d, bps, end_state, num_frames, t0):
         s, t = carry
         active = t < num_frames
         code = bp_t[s, bidx].astype(jnp.int32)  # [B]
-        row = row_start[s] + code // d
-        dsel = code % d
-        src = row_src_flat[row * d + dsel]
-        row_o = jnp.where(active, row, -1)
-        dsel_o = jnp.where(active, dsel, -1)
+        gcode = row_start[s] * d + code
+        src = row_src_flat[gcode]
+        gcode_o = jnp.where(active, gcode, -1)
         s = jnp.where(active, src, s)
-        return (s, t - 1), (row_o, dsel_o)
+        return (s, t - 1), gcode_o
 
-    (state, _), (rows_rev, slots_rev) = jax.lax.scan(
+    (state, _), codes_rev = jax.lax.scan(
         step, (end_state, t0 + w - 1), bps[::-1])
-    return rows_rev[::-1], slots_rev[::-1], state
+    return codes_rev[::-1], state
+
+
+@jax.jit
+def select_end_state(alpha_end, final_score):
+    """Device-side end-state selection (one tiny fetch instead of the full
+    ``[S+1, B]`` alpha table — the remote host link runs at ~20 MB/s).
+
+    Mirrors the reference's final-state preference
+    (``lattice-faster-decoder.cc`` ``FindBestPath``): use final-weighted
+    scores when any final state is reachable, else the best non-final score.
+    Returns (end_state [B], score [B], use_final [B], has_path [B]).
+    """
+    s_real = final_score.shape[0]
+    ae = alpha_end[:s_real]
+    total = ae + final_score[:, None]
+    best_final = jnp.max(total, axis=0)
+    best_any = jnp.max(ae, axis=0)
+    use_final = best_final > NEG_INF / 2
+    has_path = best_any > NEG_INF / 2
+    end_state = jnp.where(use_final, jnp.argmax(total, axis=0),
+                          jnp.argmax(ae, axis=0)).astype(jnp.int32)
+    score = jnp.where(use_final, best_final, best_any)
+    return end_state, score, use_final, has_path
 
 
 def decode_best_path(graph: DenseGraph, plan: EmitPlan, dev: EmitPlanDev,
@@ -328,44 +349,40 @@ def decode_best_path(graph: DenseGraph, plan: EmitPlan, dev: EmitPlanDev,
     alpha_end = jnp.where((nf == 0)[None, :], alpha,
                           jnp.full((s1, b), NEG_INF))
     step_t = t_total if chunk is None else min(chunk, t_total)
+    # pad T to a multiple of the chunk so every dispatch reuses ONE compiled
+    # scan (a short remainder chunk would recompile per distinct T % chunk);
+    # padded frames are masked by num_frames inside the scan
+    t_pad = -(-t_total // step_t) * step_t
+    if t_pad != t_total:
+        loglikes = jnp.concatenate(
+            [loglikes, jnp.zeros((b, t_pad - t_total, loglikes.shape[2]),
+                                 loglikes.dtype)], axis=1)
     chunks = []
-    for lo in range(0, t_total, step_t):
+    for lo in range(0, t_pad, step_t):
         (alpha, alpha_end), bps = viterbi_scan(
             dev, alpha, alpha_end, loglikes[:, lo:lo + step_t], nf,
             jnp.int32(lo), acwt, beam_j, plan.packed, use_beam)
         chunks.append((lo, bps))
 
-    # choose end state per utterance (host: [S+1, B] fetch)
-    alpha_end_np = np.asarray(alpha_end)[: graph.num_states]
+    # choose end state per utterance on device; fetch only [B]-sized arrays
     nf_np = np.asarray(num_frames)
-    total = alpha_end_np + graph.final_score[:, None]
-    end_state = np.zeros(b, np.int32)
-    scores = np.full(b, -np.inf, np.float64)
-    use_final = np.zeros(b, bool)
-    has_path = np.zeros(b, bool)
-    best_final = total.max(axis=0)
-    best_any = alpha_end_np.max(axis=0)
-    for i in range(b):
-        if best_final[i] > NEG_INF / 2:
-            end_state[i] = int(np.argmax(total[:, i]))
-            scores[i] = float(best_final[i])
-            use_final[i] = has_path[i] = True
-        elif best_any[i] > NEG_INF / 2:
-            end_state[i] = int(np.argmax(alpha_end_np[:, i]))
-            scores[i] = float(best_any[i])
-            has_path[i] = True
+    end_dev, score_dev, use_final_dev, has_path_dev = select_end_state(
+        alpha_end, jnp.asarray(graph.final_score))
+    end_state = np.asarray(end_dev)
+    scores = np.asarray(score_dev).astype(np.float64)
+    use_final = np.asarray(use_final_dev)
+    has_path = np.asarray(has_path_dev)
 
-    # backtrace chunks in reverse, carrying the state
+    # backtrace chunks in reverse, carrying the state; ONE [T, B] host fetch
+    # of packed codes row*D+slot
     d = jnp.int32(plan.d)
-    state = jnp.asarray(end_state)
-    rows_parts, slot_parts = [], []
+    state = end_dev
+    code_parts = []
     for lo, bps in reversed(chunks):
-        rows_c, slots_c, state = backtrace_scan(
+        codes_c, state = backtrace_scan(
             dev.row_start, dev.row_src, d, bps, state, nf, jnp.int32(lo))
-        rows_parts.append(rows_c)
-        slot_parts.append(slots_c)
-    rows_all = np.asarray(jnp.concatenate(rows_parts[::-1], axis=0))
-    slots_all = np.asarray(jnp.concatenate(slot_parts[::-1], axis=0))
+        code_parts.append(codes_c)
+    codes_all = np.asarray(jnp.concatenate(code_parts[::-1], axis=0))
 
     out = []
     for i in range(b):
@@ -373,8 +390,9 @@ def decode_best_path(graph: DenseGraph, plan: EmitPlan, dev: EmitPlanDev,
         if not has_path[i]:
             out.append({"tids": [], "words": [], "score": -np.inf, "arcs": []})
             continue
-        rows_i = rows_all[:n, i]
-        slots_i = slots_all[:n, i]
+        codes_i = codes_all[:n, i]
+        rows_i = codes_i // plan.d
+        slots_i = codes_i % plan.d
         arcs = plan.row_arc[rows_i, slots_i] if n else np.zeros(0, np.int64)
         if n and (arcs < 0).any():
             out.append({"tids": [], "words": [], "score": -np.inf, "arcs": []})

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -48,6 +49,13 @@ class Decoder:
         self.trans_model = trans_model
         self.opts = opts
         self.params = K.pack_gmm(am)
+        # fused Pallas loglik kernel on real hardware (2.7x the XLA path at
+        # decode scale; tools/bench_pallas.py); XLA path on the CPU test mesh
+        self._use_pallas = jax.default_backend() not in ("cpu",)
+        if self._use_pallas:
+            from ..ops.pallas_gmm import pack_gmm_pallas
+            self.pallas_params = pack_gmm_pallas(am)
+            self.num_pdfs = am.num_pdfs
         self._levels = None
         log.info("decoder: graph states=%d arcs(eps-free)=%d rows=%d d=%d "
                  "packed-bp=%s", self.graph.num_states, self.graph.num_arcs,
@@ -62,12 +70,38 @@ class Decoder:
                 self.graph.arc_dst, self.graph.num_states, k=8).levels
         return self._levels
 
+    def _loglikes(self, feats: jnp.ndarray) -> jnp.ndarray:
+        """[B, T, D] -> [B, T, P] acoustic log-likelihoods (Pallas fused
+        kernel on accelerators, XLA matmul+logsumexp on CPU)."""
+        if self._use_pallas:
+            from ..ops.pallas_gmm import loglikes_batch_pallas
+            return loglikes_batch_pallas(self.pallas_params, feats,
+                                         self.num_pdfs)
+        return K.loglikes_batch(self.params, feats)
+
     def _bp_chunk(self, b: int) -> int:
         """Frames per forward-scan dispatch so the backpointer block stays
         under ~1 GB (remote-worker allocation-fragility bound)."""
         bytes_per_frame = (self.plan.num_states + 1) * b * \
             (1 if self.plan.packed else 2)
         return max(32, int(1e9 // max(bytes_per_frame, 1)))
+
+    @staticmethod
+    def _bucket(feats: np.ndarray, num_frames: np.ndarray):
+        """Pad (B, T) up to a small fixed set of shapes so repeated decodes
+        with varying batch/length hit the jit cache (VERDICT r1 #8): B to the
+        next power of two (extra lanes are nearly free in the batch-minor
+        layout), T to a multiple of 128 frames."""
+        b, t = feats.shape[0], feats.shape[1]
+        b_pad = 1 << max(3, (b - 1).bit_length())
+        t_pad = max(128, -(-t // 128) * 128)
+        if b_pad == b and t_pad == t:
+            return feats, np.asarray(num_frames), b
+        padded = np.zeros((b_pad, t_pad, feats.shape[2]), feats.dtype)
+        padded[:b, :t] = feats
+        nf = np.zeros(b_pad, np.int32)
+        nf[:b] = num_frames
+        return padded, nf, b
 
     def decode_batch(self, utts: list[str], feats: np.ndarray,
                      num_frames: np.ndarray,
@@ -81,12 +115,14 @@ class Decoder:
         from ..ops import decode_core as DC
 
         acwt = self.opts.acoustic_scale if acoustic_scale is None else acoustic_scale
-        ll = K.loglikes_batch(self.params, jnp.asarray(feats))
+        feats, nf, b_real = self._bucket(np.asarray(feats),
+                                         np.asarray(num_frames))
+        ll = self._loglikes(jnp.asarray(feats))
         paths = DC.decode_best_path(
-            self.graph, self.plan, self.plan_dev, ll, np.asarray(num_frames),
+            self.graph, self.plan, self.plan_dev, ll, nf,
             acoustic_scale=acwt, chunk=self._bp_chunk(feats.shape[0]))
         out = []
-        for u, r in zip(utts, paths):
+        for u, r in zip(utts, paths[:b_real]):
             out.append(DecodeResult(u, r["words"], r["score"],
                                     r["tids"] if keep_tids else []))
         return out
@@ -112,14 +148,17 @@ class Decoder:
         g = self.graph
         if not hasattr(self, "_rev_levels"):
             self._rev_levels = LAT.build_src_plan(g, k=8)
-        ll = K.loglikes_batch(self.params, jnp.asarray(feats))
+        ll = self._loglikes(jnp.asarray(feats))
         nf = np.asarray(num_frames)
         mask, _best, _aend, use_final = LAT.lattice_forward_backward(
             g, self.levels, self._rev_levels, ll, nf,
             acoustic_scale=acwt, beam=self.opts.beam,
             lattice_beam=self.opts.lattice_beam,
             max_active=self.opts.max_active,
-            window=min(64, max(8, int(np.max(nf)))))
+            # fixed window: a max(nf)-derived window recompiles the jitted
+            # window program for every distinct batch length (VERDICT r1 #8);
+            # lattice_forward_backward pads T internally
+            window=64)
         lats = build_lattices(g, mask, np.asarray(ll), nf, use_final)
         return dict(zip(utts, lats))
 
@@ -158,7 +197,7 @@ class Decoder:
         rescoring-scale batches."""
         acwt = self.opts.acoustic_scale if acoustic_scale is None else acoustic_scale
         g = self.graph
-        ll = K.loglikes_batch(self.params, jnp.asarray(feats))
+        ll = self._loglikes(jnp.asarray(feats))
         alpha_end, bpa, bps = V.viterbi_nbest_forward(
             jnp.asarray(g.arc_src), self.levels, jnp.asarray(g.arc_pdf),
             jnp.asarray(g.arc_score), jnp.asarray(g.alpha0), ll,

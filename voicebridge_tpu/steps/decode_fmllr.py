@@ -101,13 +101,18 @@ def decode_fmllr(hclg: Fst, trans_model: TransitionModel, am: AmDiagGmm,
     trans2, _ = estimate(am, pdf_flat, wflat)
     adapted2 = np.asarray(apply_fmllr_batch(jnp.asarray(feats), trans2, spk_of_utt))
 
-    # ---- stage 4: rescore the adapted lattices with final features ----------
+    # ---- stage 4: rescore + true pruned determinization ---------------------
+    # (GmmRescoreLattice -> LatticeDeterminizePruned, decode_fmllr.cpp:583-640)
+    from ..lat import determinize_lattice_pruned_safe
+
     ll2 = np.asarray(K.loglikes_batch(ad_dec.params, jnp.asarray(adapted2)))
     results = []
     for i, u in enumerate(utts):
         lat = rescore_lattice_acoustics(ad_lats[u], ll2[i])
-        p = lattice_best_path(lat, lm_scale=1.0,
-                              acoustic_scale=opts.acoustic_scale)
+        clat = determinize_lattice_pruned_safe(
+            lat, beam=opts.lattice_beam, lm_scale=1.0,
+            acoustic_scale=opts.acoustic_scale)
+        p = clat.best_path(lm_scale=1.0, acoustic_scale=opts.acoustic_scale)
         results.append(DecodeResult(u, p["words"], p["score"], p["tids"]))
     return results, trans2
 
