@@ -102,6 +102,94 @@ def run_config(num_states: int, b: int, t: int):
     }), flush=True)
 
 
+def synth_train_graph(num_states: int, num_pdfs: int, rng) -> "object":
+    """Synthetic training-alignment graph shaped like a real compiled
+    LG-level utterance graph (fst/hclg.py TrainingGraphCompiler): a left-to-
+    right chain of 3-state HMMs with self-loops and skip arcs."""
+    from voicebridge_tpu.ops.viterbi import NEG_INF, DenseGraph
+
+    src, dst, pdf, score = [], [], [], []
+    for s in range(num_states):
+        p = int(rng.integers(0, num_pdfs))
+        src += [s, s]
+        dst += [s, min(s + 1, num_states - 1)]
+        pdf += [p, int(rng.integers(0, num_pdfs))]
+        score += [float(-rng.exponential(0.3)), float(-rng.exponential(0.3))]
+        if s + 2 < num_states and rng.random() < 0.25:  # optional-sil skip
+            src.append(s)
+            dst.append(s + 2)
+            pdf.append(int(rng.integers(0, num_pdfs)))
+            score.append(float(-rng.exponential(0.5)))
+    alpha0 = np.full(num_states, NEG_INF, np.float32)
+    alpha0[0] = 0.0
+    final = np.full(num_states, NEG_INF, np.float32)
+    final[num_states - 1] = 0.0
+    a = len(src)
+    return DenseGraph(
+        num_states=num_states, arc_src=np.asarray(src, np.int32),
+        arc_dst=np.asarray(dst, np.int32), arc_tid=np.asarray(pdf, np.int32),
+        arc_pdf=np.asarray(pdf, np.int32),
+        arc_score=np.asarray(score, np.float32),
+        arc_oseq=np.zeros(a, np.int32), alpha0=alpha0,
+        start_oseq=np.zeros(num_states, np.int32), final_score=final,
+        final_oseq=np.zeros(num_states, np.int32), oseqs=[()])
+
+
+def run_train_config(b: int, t: int, s: int):
+    """One EM training iteration at DELTA+SAT scale: Pallas GMM loglikes +
+    batched per-utterance Viterbi alignment (forward scan, bp fetch, host
+    backtrace) + E-step sufficient statistics (gmm-align-compiled +
+    gmm-acc-stats-ali roles).  Prints one JSON line."""
+    import jax.numpy as jnp
+
+    from voicebridge_tpu.models.gmm import AmDiagGmm
+    from voicebridge_tpu.ops import gmm_kernels as K
+    from voicebridge_tpu.ops import viterbi as V
+    from voicebridge_tpu.ops.pallas_gmm import (loglikes_batch_pallas,
+                                                pack_gmm_pallas)
+    from voicebridge_tpu.steps.align import AlignmentSet
+
+    rng = np.random.default_rng(3)
+    num_pdfs, max_mix, dim = 2000, 5, 39
+    am = AmDiagGmm(
+        rng.standard_normal((num_pdfs, max_mix, dim)).astype(np.float32),
+        np.abs(rng.standard_normal((num_pdfs, max_mix, dim))).astype(
+            np.float32) + 0.5,
+        np.full((num_pdfs, max_mix), 1.0 / max_mix, np.float32))
+    params_p = pack_gmm_pallas(am)
+    params = K.pack_gmm(am)
+    graphs = [synth_train_graph(s, num_pdfs, rng) for _ in range(b)]
+    aset = AlignmentSet(graphs)
+    feats = jnp.asarray(rng.standard_normal((b, t, dim)), jnp.float32)
+    nf = np.full((b,), t, np.int32)
+
+    def em_iter():
+        ll = loglikes_batch_pallas(params_p, feats, num_pdfs)
+        alis = aset.align(ll, nf, acoustic_scale=0.1)
+        pdf_ids = np.zeros((b, t), np.int32)
+        for i, r in enumerate(alis):
+            assert len(r["arcs"]) == t, "alignment failed"
+            pdf_ids[i] = graphs[i].arc_pdf[r["arcs"]]
+        stats = K.acc_gmm_stats(params, feats.reshape(-1, dim),
+                                jnp.asarray(pdf_ids).reshape(-1), num_pdfs)
+        jax.block_until_ready(stats)
+
+    import jax
+
+    em_iter()  # compile
+    iters = 3
+    start = time.perf_counter()
+    for _ in range(iters):
+        em_iter()
+    wall = (time.perf_counter() - start) / iters
+    value = b * t * 0.01 / wall
+    print(json.dumps({
+        "metric": "train_em_audio_seconds_per_sec_1chip",
+        "value": round(value, 2), "unit": "audio-s/s",
+        "config": {"batch": b, "frames": t, "graph_states": s},
+    }), flush=True)
+
+
 CONFIGS = [
     # (num_states, batch, frames, timeout_s); CONFIGS[0] is the flagship.
     # B=128 fills the TPU lane dimension: alpha is [S+1, B] batch-minor, so
@@ -112,21 +200,28 @@ CONFIGS = [
     (6_000, 8, 100, 600),
 ]
 
+# train bench: (batch, frames, graph_states, timeout_s).  bp tensor is
+# [T, B, S] int32 ~= 59 MB at the flagship size (worker-safe, see verify
+# skill notes on transfer limits).
+TRAIN_CONFIGS = [
+    (96, 400, 384, 1500),
+    (32, 200, 256, 900),
+]
 
-def main():
-    if os.environ.get("VB_BENCH_CHILD"):
-        i = int(os.environ["VB_BENCH_CHILD"]) - 1
-        s, b, t, _to = CONFIGS[i]
-        run_config(s, b, t)
-        return
-    for i, (s, b, t, to) in enumerate(CONFIGS, start=1):
-        env = dict(os.environ, VB_BENCH_CHILD=str(i))
+
+def _run_ladder(configs, child_env: str, runner_desc: str):
+    """Run configs in subprocesses, return the first JSON record (tagged as
+    degraded when it isn't the flagship config)."""
+    for i, cfg in enumerate(configs, start=1):
+        to = cfg[-1]
+        env = dict(os.environ, **{child_env: str(i)})
         try:
             proc = subprocess.run(
                 [sys.executable, "-u", os.path.abspath(__file__)],
                 env=env, timeout=to, capture_output=True, text=True)
         except subprocess.TimeoutExpired:
-            print(f"# config {i} timed out, falling back", file=sys.stderr)
+            print(f"# {runner_desc} config {i} timed out, falling back",
+                  file=sys.stderr)
             continue
         for line in proc.stdout.splitlines():
             if line.startswith("{"):
@@ -136,15 +231,42 @@ def main():
                     rec["vs_baseline"] = 0.0
                     rec["error"] = (f"flagship config failed; this is "
                                     f"fallback config {i}")
-                print(json.dumps(rec), flush=True)
-                return
-        print(f"# config {i} failed rc={proc.returncode}: "
-              f"{proc.stderr.strip().splitlines()[-1] if proc.stderr.strip() else ''}",
-              file=sys.stderr)
-    # all configs failed: emit a zero result rather than nothing
-    print(json.dumps({"metric": "decode_audio_seconds_per_sec_1chip",
-                      "value": 0.0, "unit": "audio-s/s", "vs_baseline": 0.0,
-                      "error": "all bench configs failed on this worker"}))
+                return rec
+        tail = (proc.stderr.strip().splitlines()[-1]
+                if proc.stderr.strip() else "")
+        print(f"# {runner_desc} config {i} failed rc={proc.returncode}: "
+              f"{tail}", file=sys.stderr)
+    return None
+
+
+def main():
+    if os.environ.get("VB_BENCH_CHILD"):
+        i = int(os.environ["VB_BENCH_CHILD"]) - 1
+        s, b, t, _to = CONFIGS[i]
+        run_config(s, b, t)
+        return
+    if os.environ.get("VB_BENCH_TRAIN_CHILD"):
+        i = int(os.environ["VB_BENCH_TRAIN_CHILD"]) - 1
+        b, t, s, _to = TRAIN_CONFIGS[i]
+        run_train_config(b, t, s)
+        return
+    rec = _run_ladder(CONFIGS, "VB_BENCH_CHILD", "decode")
+    if rec is None:
+        rec = {"metric": "decode_audio_seconds_per_sec_1chip",
+               "value": 0.0, "unit": "audio-s/s", "vs_baseline": 0.0,
+               "error": "all decode bench configs failed on this worker"}
+    # train throughput rides the same JSON line (BASELINE.md scaling report:
+    # train AND decode audio-s/s; the reference has no numeric train target,
+    # so vs_baseline stays the decode ratio)
+    trec = _run_ladder(TRAIN_CONFIGS, "VB_BENCH_TRAIN_CHILD", "train")
+    if trec is not None:
+        rec["train_audio_seconds_per_sec_1chip"] = trec["value"]
+        rec["train_config"] = trec.get("config")
+        if "error" in trec:
+            rec["train_error"] = trec["error"]
+    else:
+        rec["train_error"] = "all train bench configs failed on this worker"
+    print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":

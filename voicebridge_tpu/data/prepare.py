@@ -75,20 +75,34 @@ class DataDir:
         return problems
 
 
-def load_waves(data: DataDir, expected_rate: float | None = None) -> dict:
+def load_waves(data: DataDir, expected_rate: float | None = None,
+               max_fail_frac: float = 0.2) -> dict:
     """Read every utterance's samples, applying ``segments`` windows
-    (extract-segments role) and optional resampling to ``expected_rate``."""
+    (extract-segments role) and optional resampling to ``expected_rate``.
+
+    Corrupt/unreadable files are skipped and logged (the reference's per-job
+    error path); more than ``max_fail_frac`` failures aborts loudly
+    (utils/health.py failure model)."""
+    from ..utils.health import FailureTracker
     from ..utils.wave import extract_segment, read_wave, resample
 
+    tracker = FailureTracker("load_waves", total=len(data.utts))
     out = {}
     for u in data.utts:
-        rate, samples = read_wave(data.wav_paths[u])
-        if u in data.segments:
-            start, end = data.segments[u]
-            samples = extract_segment(samples, rate, start, end)
-        if expected_rate and rate != expected_rate:
-            samples = resample(samples, rate, expected_rate)
+        try:
+            rate, samples = read_wave(data.wav_paths[u])
+            if u in data.segments:
+                start, end = data.segments[u]
+                samples = extract_segment(samples, rate, start, end)
+            if expected_rate and rate != expected_rate:
+                samples = resample(samples, rate, expected_rate)
+            if samples.size == 0:
+                raise ValueError("empty waveform")
+        except Exception as e:  # corrupt RIFF, short read, bad segment
+            tracker.record(u, str(e))
+            continue
         out[u] = samples
+    tracker.finish(max_fail_frac)
     return out
 
 

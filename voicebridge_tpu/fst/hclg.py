@@ -51,6 +51,12 @@ def minimize_encoded(f: Fst) -> Fst:
     return _minimize_py(f)
 
 
+def rm_eps_local(f: Fst) -> Fst:
+    if native_bridge.available():
+        return native_bridge.remove_eps_local(f)
+    return remove_eps_local(f)
+
+
 def _context_params(tree) -> tuple[int, int]:
     return tree.context_width, tree.central_position
 
@@ -83,7 +89,7 @@ def compile_hclg_from_lg(lg: Fst, lang: Lang, tree, trans_model: TransitionModel
     hclga = compose(ha, clg)
     hclga = determinize_star(hclga)
     remove_input_symbols(hclga, set(disambig_tids))
-    hclga = remove_eps_local(hclga)
+    hclga = rm_eps_local(hclga)
     if minimize:
         hclga = minimize_encoded(hclga)
     add_self_loops(hclga, trans_model, [], self_loop_scale)

@@ -56,7 +56,7 @@ def _load():
         return None
     lib = ctypes.CDLL(str(_LIB_PATH))
     for name in ("vb_compose", "vb_determinize_star", "vb_minimize_encoded",
-                 "vb_connect"):
+                 "vb_connect", "vb_remove_eps_local"):
         getattr(lib, name).restype = ctypes.c_int
     lib.vb_free_graph.restype = None
     _LIB = lib
@@ -144,6 +144,16 @@ def minimize_encoded(fst: Fst) -> Fst:
     rc = lib.vb_minimize_encoded(ctypes.byref(cin), ctypes.byref(out))
     if rc != 0:
         raise RuntimeError(f"native minimize failed rc={rc}")
+    return _from_c(lib, out)
+
+
+def remove_eps_local(fst: Fst) -> Fst:
+    lib = _load()
+    keep: list = []
+    cin, out = _to_c(fst, keep), _CGraph()
+    rc = lib.vb_remove_eps_local(ctypes.byref(cin), ctypes.byref(out))
+    if rc != 0:
+        raise RuntimeError(f"native remove_eps_local failed rc={rc}")
     return _from_c(lib, out)
 
 

@@ -114,6 +114,12 @@ class AmDiagGmm:
         """Update in place from sufficient stats (shapes [P,M], [P,M,D], [P,M,D]).
         Low-occupancy components are dropped (weight 0) unless they are the
         pdf's last component.  Returns update diagnostics."""
+        from ..utils.health import check_finite
+
+        # divergence detection (utils/health.py): NaN/Inf in the E-step stats
+        # would otherwise propagate silently into the model
+        check_finite("gmm mle_update", occ=occ, mean_acc=mean_acc,
+                     var_acc=var_acc)
         occ = occ.astype(np.float64)
         tot_occ_per_pdf = occ.sum(axis=1, keepdims=True)  # [P, 1]
         active = self.weights > 0

@@ -562,6 +562,118 @@ void MinimizeEncoded(Graph* g) {
   *g = std::move(out);
 }
 
+// ---------------------------------------------------------------------------
+// remove-eps-local: conservative (size-safe) eps:eps elimination
+// (role: Kaldi RemoveEpsLocal, fstext/remove-eps-local.h; semantics match
+// voicebridge_tpu/fst/epsilon.py remove_eps_local — two local rules applied
+// to fixpoint — but with incremental in-degree / reverse-adjacency
+// bookkeeping instead of the Python version's full rescan per change, which
+// is what makes 100k-state HCLGa graphs compile in milliseconds, not minutes)
+// ---------------------------------------------------------------------------
+
+void RemoveEpsLocal(Graph* g) {
+  const int32_t n = static_cast<int32_t>(g->arcs.size());
+  if (n == 0) return;
+  std::vector<int32_t> indeg(n, 0);
+  // reverse adjacency as (state, arc-index) refs, validated lazily (a ref is
+  // stale when the arc no longer points at the state)
+  std::vector<std::vector<std::pair<int32_t, int32_t>>> incoming(n);
+  for (int32_t s = 0; s < n; ++s)
+    for (size_t i = 0; i < g->arcs[s].size(); ++i) {
+      const Arc& a = g->arcs[s][i];
+      ++indeg[a.dst];
+      incoming[a.dst].push_back({s, static_cast<int32_t>(i)});
+    }
+
+  std::vector<char> queued(n, 1);
+  std::vector<int32_t> work(n);
+  for (int32_t s = 0; s < n; ++s) work[s] = n - 1 - s;  // process 0..n-1
+
+  auto push = [&](int32_t s) {
+    if (!queued[s]) {
+      queued[s] = 1;
+      work.push_back(s);
+    }
+  };
+
+  while (!work.empty()) {
+    int32_t s = work.back();
+    work.pop_back();
+    queued[s] = 0;
+    bool local_change = true;
+    while (local_change) {
+      local_change = false;
+      auto& arcs = g->arcs[s];
+      for (size_t i = 0; i < arcs.size(); ++i) {
+        Arc a = arcs[i];
+        if (a.ilabel != kEps || a.olabel != kEps) continue;
+        if (a.dst == s) {
+          if (a.weight >= 0.0f) {  // non-negative eps self-loop: useless
+            arcs.erase(arcs.begin() + i);
+            --indeg[s];
+            local_change = true;
+            break;
+          }
+          continue;
+        }
+        int32_t d = a.dst;
+        // rule 1: d's only incoming arc is this eps arc: absorb d into s
+        if (indeg[d] == 1 && d != g->start) {
+          arcs.erase(arcs.begin() + i);
+          --indeg[d];
+          for (const Arc& b : g->arcs[d]) {
+            --indeg[b.dst];  // will be re-counted as s's arc
+            arcs.push_back(Arc{b.ilabel, b.olabel, a.weight + b.weight, b.dst});
+            ++indeg[arcs.back().dst];
+            incoming[arcs.back().dst].push_back(
+                {s, static_cast<int32_t>(arcs.size()) - 1});
+            push(arcs.back().dst);
+          }
+          if (g->finals[d] != kInf) {
+            float nf = a.weight + g->finals[d];
+            g->finals[s] = std::min(g->finals[s], nf);
+          }
+          g->arcs[d].clear();
+          g->finals[d] = kInf;
+          local_change = true;
+          break;
+        }
+        // rule 2: s's only arc is this eps arc, s non-final, not start:
+        // splice s out by redirecting its incoming arcs to d.  The stored
+        // (state, arc-index) refs can go stale after erases shift indices,
+        // so only the STATE half is trusted: each unique predecessor is
+        // re-scanned for arcs into s (out-degrees are small).
+        if (arcs.size() == 1 && g->finals[s] == kInf && s != g->start) {
+          std::vector<int32_t> preds;
+          for (const auto& ref : incoming[s])
+            if (ref.first != s) preds.push_back(ref.first);
+          std::sort(preds.begin(), preds.end());
+          preds.erase(std::unique(preds.begin(), preds.end()), preds.end());
+          for (int32_t u : preds) {
+            auto& uarcs = g->arcs[u];
+            for (size_t j = 0; j < uarcs.size(); ++j) {
+              if (uarcs[j].dst != s) continue;
+              uarcs[j].dst = d;
+              uarcs[j].weight += a.weight;
+              --indeg[s];
+              ++indeg[d];
+              incoming[d].push_back({u, static_cast<int32_t>(j)});
+            }
+            push(u);
+          }
+          incoming[s].clear();
+          arcs.clear();
+          --indeg[d];
+          push(d);
+          local_change = true;
+          break;
+        }
+      }
+    }
+  }
+  Connect(g);
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -598,6 +710,13 @@ int vb_determinize_star(const CGraph* in, int use_log, CGraph* out) {
 int vb_minimize_encoded(const CGraph* in, CGraph* out) {
   Graph g = FromC(in);
   MinimizeEncoded(&g);
+  ToC(g, out);
+  return 0;
+}
+
+int vb_remove_eps_local(const CGraph* in, CGraph* out) {
+  Graph g = FromC(in);
+  RemoveEpsLocal(&g);
   ToC(g, out);
   return 0;
 }

@@ -43,6 +43,30 @@ class AlignmentSet:
                                    np.asarray(bps), np.asarray(num_frames))
 
 
+def apply_alignments(results: list, tids: np.ndarray, weights: np.ndarray,
+                     num_frames, stage: str, names: list | None = None,
+                     max_fail_frac: float = 0.5) -> int:
+    """Fill (tids, weights) in place from batched align results, zeroing
+    failed utterances; failures are logged per utterance and a systemic
+    failure (> max_fail_frac) aborts (utils/health.py failure model — the
+    reference logs '** Alignment failed **' per utt and errors when all jobs
+    fail).  Returns the number of failures."""
+    from ..utils.health import FailureTracker
+
+    tracker = FailureTracker(stage, total=len(results))
+    tids[:] = 0
+    weights[:] = 0.0
+    for i, r in enumerate(results):
+        if r["tids"]:
+            tids[i, : num_frames[i]] = r["tids"]
+            weights[i, : num_frames[i]] = 1.0
+        else:
+            tracker.record(names[i] if names else f"utt[{i}]",
+                           "no path through training graph")
+    tracker.finish(max_fail_frac)
+    return tracker.num_failed
+
+
 def equal_align(graph: V.DenseGraph, num_frames: int, seed: int = 0):
     """Evenly-spread initial alignment (align-equal-compiled): pick a RANDOM
     successful path through the graph (like the reference — a deterministic

@@ -31,7 +31,7 @@ from ..transforms.lda import acc_lda_stats, apply_affine_transform, estimate_lda
 from ..transforms.mllt import (acc_mllt_stats, compose_transforms, est_mllt,
                                transform_model_means)
 from ..utils.logging import get_logger
-from .align import AlignmentSet
+from .align import AlignmentSet, apply_alignments
 from .train_mono import TrainedModel, save_model
 from .train_tri import init_model_from_tree_stats
 
@@ -144,12 +144,8 @@ def train_lda_mllt(base_feats: dict, transcripts: dict, prev_alignments: dict,
             ll_frames = K.loglikes_batch(K.pack_gmm(align_am), jnp.asarray(feats))
             results = aset.align(ll_frames, jnp.asarray(num_frames),
                                  acoustic_scale=opts.acoustic_scale)
-            tids[:] = 0
-            weights[:] = 0.0
-            for i, r in enumerate(results):
-                if r["tids"]:
-                    tids[i, : num_frames[i]] = r["tids"]
-                    weights[i, : num_frames[i]] = 1.0
+            apply_alignments(results, tids, weights, num_frames,
+                             "train_lda_mllt realign", names=utts)
 
         if it in opts.mllt_iters:
             # ---- MLLT update ---------------------------------------------

@@ -29,7 +29,7 @@ from ..models.transition import TransitionModel
 from ..models.tree import MonophoneTree
 from ..ops import gmm_kernels as K
 from ..utils.logging import get_logger
-from .align import AlignmentSet, equal_align
+from .align import AlignmentSet, apply_alignments, equal_align
 
 log = get_logger()
 
@@ -169,12 +169,8 @@ def train_mono(feats_by_utt: dict[str, np.ndarray],
             # beam/retry_beam machinery only bounds token-passing cost on CPU
             results = aset.align(ll_frames, jnp.asarray(num_frames),
                                  acoustic_scale=opts.acoustic_scale, beam=1e9)
-            tids[:] = 0
-            weights[:] = 0.0
-            for i, r in enumerate(results):
-                if r["tids"]:
-                    tids[i, : num_frames[i]] = r["tids"]
-                    weights[i, : num_frames[i]] = 1.0
+            apply_alignments(results, tids, weights, num_frames,
+                             "train_mono realign", names=utts)
 
         occ, macc, vacc, tstats, ll = accumulate(tids.reshape(-1),
                                                  weights.reshape(-1))

@@ -32,7 +32,7 @@ from ..ops import gmm_kernels as K
 from ..transforms.fmllr import (acc_fmllr_stats, apply_fmllr_batch,
                                 estimate_fmllr_batch)
 from ..utils.logging import get_logger
-from .align import AlignmentSet
+from .align import AlignmentSet, apply_alignments
 from .train_lda_mllt import _batch, silence_frame_weights
 from .train_mono import TrainedModel, save_model
 from .train_tri import init_model_from_tree_stats
@@ -149,12 +149,8 @@ def train_sat(base_feats: dict, utt2spk: dict, transcripts: dict,
             ll_frames = K.loglikes_batch(K.pack_gmm(align_am), jnp.asarray(feats))
             results = aset.align(ll_frames, jnp.asarray(num_frames),
                                  acoustic_scale=opts.acoustic_scale)
-            tids[:] = 0
-            weights[:] = 0.0
-            for i, r in enumerate(results):
-                if r["tids"]:
-                    tids[i, : num_frames[i]] = r["tids"]
-                    weights[i, : num_frames[i]] = 1.0
+            apply_alignments(results, tids, weights, num_frames,
+                             "train_sat realign", names=utts)
 
         params = K.pack_gmm(am)
         x = feats.reshape(b * t_max, dim)

@@ -27,7 +27,7 @@ from ..models.transition import TransitionModel
 from ..models.treebuild import GaussStats, acc_tree_stats, build_tree
 from ..ops import gmm_kernels as K
 from ..utils.logging import get_logger
-from .align import AlignmentSet
+from .align import AlignmentSet, apply_alignments
 from .train_mono import TrainedModel, save_model
 
 log = get_logger()
@@ -147,12 +147,8 @@ def train_tri(feats_by_utt: dict, transcripts: dict, prev_alignments: dict,
             ll_frames = K.loglikes_batch(K.pack_gmm(align_am), jnp.asarray(feats))
             results = aset.align(ll_frames, jnp.asarray(num_frames),
                                  acoustic_scale=opts.acoustic_scale)
-            tids[:] = 0
-            weights[:] = 0.0
-            for i, r in enumerate(results):
-                if r["tids"]:
-                    tids[i, : num_frames[i]] = r["tids"]
-                    weights[i, : num_frames[i]] = 1.0
+            apply_alignments(results, tids, weights, num_frames,
+                             "train_tri realign", names=utts)
         occ, macc, vacc, tstats, ll = accumulate()
         if it <= opts.max_iter_inc:
             num_gauss += inc_gauss
