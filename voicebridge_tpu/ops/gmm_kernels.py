@@ -110,6 +110,99 @@ def acc_gmm_stats(params: GmmParams, x: jnp.ndarray, pdf_ids: jnp.ndarray,
     return occ, mean_acc, var_acc
 
 
+def aligned_mixture_logliks(params: GmmParams, x: jnp.ndarray,
+                            pdf_ids: jnp.ndarray) -> jnp.ndarray:
+    """Per-frame component log-likelihoods of each frame's ALIGNED pdf only:
+    ``[N, D], [N] -> [N, M]``.  Gathers [N, M, 2D] parameters instead of
+    evaluating all pdfs ([N, P, M] blows up at real-corpus scale)."""
+    p, m, d = params.num_pdfs, params.max_mix, params.dim
+    wt = params.w_matrix.T.reshape(p, m, 2 * d)
+    wsel = jnp.take(wt, pdf_ids, axis=0)  # [N, M, 2D]
+    return jnp.einsum("nmd,nd->nm", wsel, _expand(x),
+                      precision=jax.lax.Precision.HIGHEST) \
+        + jnp.take(params.gconsts, pdf_ids, axis=0)
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def acc_gmm_stats_aligned_twofeats(params: GmmParams, x_post: jnp.ndarray,
+                                   x_acc: jnp.ndarray, pdf_ids: jnp.ndarray,
+                                   num_pdfs: int, frame_weights: jnp.ndarray):
+    """Aligned-pdf E-step stats with *separate* posterior / accumulation
+    features (``gmm-acc-stats-twofeats``: posteriors from the adapted
+    features, statistics over the base features).  Gathers ONLY each frame's
+    aligned pdf's component parameters ([N, M, 2D]) instead of evaluating all
+    pdfs ([N, P, M] — several GB at real-corpus scale).
+
+    Returns (occ [P, M], mean_acc [P, M, D], var_acc [P, M, D], ll scalar).
+    """
+    sel = aligned_mixture_logliks(params, x_post, pdf_ids)  # [N, M]
+    ll = jnp.sum(jax.scipy.special.logsumexp(sel, axis=1) * frame_weights)
+    gamma = jax.nn.softmax(sel, axis=1) * frame_weights[:, None]
+    occ = jax.ops.segment_sum(gamma, pdf_ids, num_pdfs)
+    gx = gamma[:, :, None] * x_acc[:, None, :]
+    mean_acc = jax.ops.segment_sum(gx, pdf_ids, num_pdfs)
+    var_acc = jax.ops.segment_sum(gx * x_acc[:, None, :], pdf_ids, num_pdfs)
+    return occ, mean_acc, var_acc, ll
+
+
+def acc_gmm_stats_aligned(params: GmmParams, x: jnp.ndarray,
+                          pdf_ids: jnp.ndarray, num_pdfs: int,
+                          frame_weights: jnp.ndarray):
+    """Single-feature variant of :func:`acc_gmm_stats_aligned_twofeats`
+    (the common ``gmm-acc-stats-ali`` path)."""
+    return acc_gmm_stats_aligned_twofeats(params, x, x, pdf_ids, num_pdfs,
+                                          frame_weights)
+
+
+def acc_gmm_stats_twofeats_chunked(params: GmmParams, x_post, x_acc, pdf_ids,
+                                   num_pdfs: int, frame_weights=None,
+                                   chunk: int = 1 << 18):
+    """Host wrapper over :func:`acc_gmm_stats_aligned_twofeats`: fixed-size
+    frame chunks (zero-weight padded tail) so device residents stay bounded
+    and the jit cache sees one shape per training run.  Returns np arrays +
+    float ll."""
+    x_post = np.asarray(x_post, np.float32)
+    x_acc = np.asarray(x_acc, np.float32)
+    n = x_post.shape[0]
+    pdf_ids = np.asarray(pdf_ids, np.int32)
+    w = (np.ones(n, np.float32) if frame_weights is None
+         else np.asarray(frame_weights, np.float32))
+    c = min(chunk, 1 << max(12, (n - 1).bit_length()))
+    p, m, d = num_pdfs, params.max_mix, params.dim
+    occ = np.zeros((p, m), np.float64)
+    macc = np.zeros((p, m, d), np.float64)
+    vacc = np.zeros((p, m, d), np.float64)
+    ll = 0.0
+
+    def padded(a, lo, hi, width=None):
+        if hi - lo == c:
+            return a[lo:hi]
+        out = np.zeros((c,) + a.shape[1:], a.dtype)
+        out[: hi - lo] = a[lo:hi]
+        return out
+
+    for lo in range(0, n, c):
+        hi = min(n, lo + c)
+        o, ma, va, l = acc_gmm_stats_aligned_twofeats(
+            params, jnp.asarray(padded(x_post, lo, hi)),
+            jnp.asarray(padded(x_acc, lo, hi)),
+            jnp.asarray(padded(pdf_ids, lo, hi)), num_pdfs,
+            jnp.asarray(padded(w, lo, hi)))
+        occ += np.asarray(o, np.float64)
+        macc += np.asarray(ma, np.float64)
+        vacc += np.asarray(va, np.float64)
+        ll += float(l)
+    return (occ.astype(np.float32), macc.astype(np.float32),
+            vacc.astype(np.float32), ll)
+
+
+def acc_gmm_stats_chunked(params: GmmParams, x, pdf_ids, num_pdfs: int,
+                          frame_weights=None, chunk: int = 1 << 18):
+    """Single-feature chunked E-step stats (``gmm-acc-stats-ali`` at scale)."""
+    return acc_gmm_stats_twofeats_chunked(params, x, x, pdf_ids, num_pdfs,
+                                          frame_weights, chunk)
+
+
 def acc_transition_stats(tids: jnp.ndarray, num_tids: int,
                          frame_weights: jnp.ndarray | None = None) -> jnp.ndarray:
     """Transition-id occupancies from alignment (``[N]`` -> ``[num_tids+1]``)."""

@@ -145,10 +145,15 @@ def compile_dense_graph(fst: Fst, tid2pdf: np.ndarray) -> DenseGraph:
 
 
 def pad_graphs(graphs: list[DenseGraph], pad_states: Optional[int] = None,
-               pad_arcs: Optional[int] = None):
+               pad_arcs: Optional[int] = None, plans: list | None = None,
+               plan_depth: int | None = None,
+               plan_rows: list[int] | None = None):
     """Stack per-utterance graphs into padded batch arrays (for training
     alignment, where every utterance has its own graph).  Padding arcs point
-    from/to a dead padding state with NEG_INF score."""
+    from/to a dead padding state with NEG_INF score.  ``plans`` (+ optional
+    ``plan_depth``/``plan_rows`` global targets from
+    :func:`batched_plan_spec`) reuse precomputed reduction plans so chunked
+    sub-batches share one padded shape."""
     s_max = pad_states or max(g.num_states for g in graphs)
     a_max = pad_arcs or max(g.num_arcs for g in graphs)
     s_pad = s_max + 1  # last state = dead state
@@ -176,7 +181,9 @@ def pad_graphs(graphs: list[DenseGraph], pad_states: Optional[int] = None,
     alpha0 = pad_state("alpha0", NEG_INF, np.float32)
     final_score = pad_state("final_score", NEG_INF, np.float32)
     levels = build_batched_plans([g.arc_dst for g in graphs],
-                                 [g.num_arcs for g in graphs], s_pad)
+                                 [g.num_arcs for g in graphs], s_pad,
+                                 plans=plans, depth=plan_depth,
+                                 rows_per_level=plan_rows)
     return dict(
         arc_src=arc_src, arc_dst=arc_dst, arc_tid=arc_tid, arc_pdf=arc_pdf,
         arc_score=arc_score, arc_oseq=arc_oseq, alpha0=alpha0,
@@ -385,32 +392,55 @@ def viterbi_forward_shared(arc_src, levels, arc_pdf, arc_score, alpha0,
     return alpha_end, bps
 
 
+def _aligned_levels(plan_levels: tuple, num_arcs: int, depth: int, k: int):
+    """Pad a per-graph plan to ``depth`` levels by inserting identity
+    passthrough levels before the final state-level."""
+    levels = list(plan_levels)
+    while len(levels) < depth:
+        dom = levels[-2].shape[0] if len(levels) >= 2 else num_arcs
+        ident = np.full((dom, k), -1, np.int32)
+        ident[:, 0] = np.arange(dom, dtype=np.int32)
+        levels.insert(len(levels) - 1, ident)
+    return levels
+
+
+def batched_plan_spec(plans: list, num_arcs_each: list[int], k: int = 16):
+    """Global (depth, rows-per-level) targets over a set of per-graph plans,
+    so that any subset stacked with these targets shares ONE padded shape
+    (keeps the jit cache warm across sub-batches)."""
+    depth = max(len(p.levels) for p in plans)
+    rows = [0] * depth
+    for p, na in zip(plans, num_arcs_each):
+        lv = _aligned_levels(p.levels, na, depth, k)
+        for d in range(depth):
+            rows[d] = max(rows[d], lv[d].shape[0])
+    return depth, rows
+
+
 def build_batched_plans(graphs_arc_dst: list[np.ndarray], num_arcs_each: list[int],
-                        num_states: int, k: int = 16) -> tuple:
+                        num_states: int, k: int = 16, plans: list | None = None,
+                        depth: int | None = None,
+                        rows_per_level: list[int] | None = None) -> tuple:
     """Per-graph reduction plans padded to a common (depth, rows) shape and
     stacked on the batch axis: tuple of [B, R_i, K] int32 arrays.
 
     Depth alignment: graphs with shallower trees get identity passthrough
     levels inserted before their final state-level so every graph has the
-    same number of levels.
+    same number of levels.  ``plans``/``depth``/``rows_per_level`` allow
+    reusing precomputed per-graph plans and padding every stacked subset to
+    one global shape (see :func:`batched_plan_spec`).
     """
-    plans = []
-    for dst, na in zip(graphs_arc_dst, num_arcs_each):
-        plans.append(build_reduction_plan(np.asarray(dst[:na]), num_states, k))
-    depth = max(len(p.levels) for p in plans)
-    fixed = []
-    for p, na in zip(plans, num_arcs_each):
-        levels = list(p.levels)
-        while len(levels) < depth:
-            # identity passthrough over the input domain of the final level
-            dom = levels[-2].shape[0] if len(levels) >= 2 else na
-            ident = np.full((dom, k), -1, np.int32)
-            ident[:, 0] = np.arange(dom, dtype=np.int32)
-            levels.insert(len(levels) - 1, ident)
-        fixed.append(levels)
+    if plans is None:
+        plans = [build_reduction_plan(np.asarray(dst[:na]), num_states, k)
+                 for dst, na in zip(graphs_arc_dst, num_arcs_each)]
+    depth = depth or max(len(p.levels) for p in plans)
+    fixed = [_aligned_levels(p.levels, na, depth, k)
+             for p, na in zip(plans, num_arcs_each)]
     out = []
     for d in range(depth):
         r_max = max(f[d].shape[0] for f in fixed)
+        if rows_per_level is not None:
+            r_max = max(r_max, rows_per_level[d])
         stack = np.full((len(fixed), r_max, k), -1, np.int32)
         for i, f in enumerate(fixed):
             stack[i, : f[d].shape[0]] = f[d]
@@ -804,6 +834,70 @@ def backtrace_shared(graph: DenseGraph, alpha_end: np.ndarray, bps: np.ndarray,
             "words": words,
             "score": score,
             "arcs": arcs,
+        })
+    return out
+
+
+@jax.jit
+def backtrace_batched_device(arc_src, alpha_end, final_score, bps, num_frames):
+    """Device-side backtrace for per-utterance padded graphs.
+
+    The remote-host link and the worker's allocator both choke on the full
+    ``bps [T, B, S]`` tensor at real-corpus scale (>1 GB at ~1.2k utts); this
+    walks it ON DEVICE so only ``[T, B]`` arc ids come back to the host
+    (same role as the reference decoder's in-memory backtrace,
+    ``faster-decoder.h`` GetBestPath).
+
+    arc_src [B, A]; alpha_end/final_score [B, S]; bps [T, B, S] arc ids.
+    Returns (arcs [T, B] int32, -1 at inactive frames; ok [B] bool;
+    end_state [B] int32; score [B] f32).
+    """
+    b = arc_src.shape[0]
+    t_total = bps.shape[0]
+    total = alpha_end + final_score
+    score = jnp.max(total, axis=1)
+    end_state = jnp.argmax(total, axis=1).astype(jnp.int32)
+    ok0 = score > NEG_INF / 2
+    bidx = jnp.arange(b)
+
+    def step(carry, bp_t):
+        s, ok, t = carry
+        active = t < num_frames
+        a = bp_t[bidx, s]
+        valid = a >= 0
+        ok = jnp.where(active, ok & valid, ok)
+        src = arc_src[bidx, jnp.maximum(a, 0)]
+        s = jnp.where(active & valid, src, s)
+        return (s, ok, t - 1), jnp.where(active, a, -1)
+
+    (_, ok, _), arcs_rev = jax.lax.scan(
+        step, (end_state, ok0, jnp.int32(t_total - 1)), bps[::-1])
+    return arcs_rev[::-1], ok, end_state, score
+
+
+def assemble_batched_results(graphs: list[DenseGraph], arcs: np.ndarray,
+                             ok: np.ndarray, end_state: np.ndarray,
+                             score: np.ndarray, num_frames: np.ndarray):
+    """Host assembly of per-utterance results from a device backtrace
+    (:func:`backtrace_batched_device`): same output structure as
+    :func:`backtrace_batched`."""
+    out = []
+    for i, g in enumerate(graphs):
+        n = int(num_frames[i])
+        if not ok[i]:
+            out.append({"tids": [], "words": [], "score": -np.inf, "arcs": []})
+            continue
+        a_i = arcs[:n, i].astype(np.int64)
+        s = int(g.arc_src[a_i[0]]) if n else int(end_state[i])
+        words: list[int] = list(g.oseqs[g.start_oseq[s]])
+        for a in a_i:
+            words.extend(g.oseqs[g.arc_oseq[a]])
+        words.extend(g.oseqs[g.final_oseq[int(end_state[i])]])
+        out.append({
+            "tids": [int(t) for t in g.arc_tid[a_i]],
+            "words": words,
+            "score": float(score[i]),
+            "arcs": [int(a) for a in a_i],
         })
     return out
 

@@ -85,9 +85,9 @@ def em_estep_sharded(mesh: Mesh, num_states: int, num_pdfs: int, num_tids: int):
         x = feats.reshape(b * t, d)
         pdf_ids = pdf_ids_in.reshape(-1)
         w = weights.reshape(-1)
-        occ, macc, vacc = K.acc_gmm_stats(params, x, pdf_ids, num_pdfs, w)
+        occ, macc, vacc, ll_tot = K.acc_gmm_stats_aligned(
+            params, x, pdf_ids, num_pdfs, w)
         tstats = K.acc_transition_stats(tids.reshape(-1), num_tids, w)
-        ll_tot = K.aligned_loglike(params, x, pdf_ids, w)
         occ = jax.lax.psum(occ, DATA_AXIS)
         macc = jax.lax.psum(macc, DATA_AXIS)
         vacc = jax.lax.psum(vacc, DATA_AXIS)

@@ -9,6 +9,7 @@ own graphs ([B, S] state scores, SURVEY.md §2.6 P1).
 
 from __future__ import annotations
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..fst.core import Fst
@@ -20,11 +21,42 @@ log = get_logger()
 
 
 class AlignmentSet:
-    """Per-utterance dense training graphs padded into one device batch."""
+    """Per-utterance dense training graphs padded into one device batch.
 
-    def __init__(self, graphs: list[V.DenseGraph]):
+    At real-corpus scale the monolithic batch is impossible: the loglikes
+    [B, T, P] and backpointers [T, B, S] tensors each exceed 1 GB around one
+    thousand utterances (the TPU worker crashes well before that, and a
+    host fetch of the bp tensor would take minutes).  :meth:`align_feats`
+    therefore processes length-sorted fixed-size sub-batches whose combined
+    device footprint stays under ``max_chunk_bytes``, with the backtrace run
+    ON DEVICE so only [T, B] arc ids are fetched — the TPU-shaped analog of
+    the reference's nj-way sharded ``gmm-align-compiled`` fan-out
+    (``train_gmm_mono.cpp:577-612``).
+    """
+
+    def __init__(self, graphs: list[V.DenseGraph],
+                 max_chunk_bytes: int = 384 << 20):
         self.graphs = graphs
-        self.padded = V.pad_graphs(graphs)
+        self.max_chunk_bytes = max_chunk_bytes
+        self._padded = None
+        self._plans = None
+        self._plan_spec = None
+
+    @property
+    def padded(self) -> dict:
+        """Monolithic padded batch (small sets / tests)."""
+        if self._padded is None:
+            self._padded = V.pad_graphs(self.graphs)
+        return self._padded
+
+    def _graph_plans(self, s_pad: int):
+        if self._plans is None:
+            self._plans = [
+                V.build_reduction_plan(g.arc_dst, s_pad)
+                for g in self.graphs]
+            self._plan_spec = V.batched_plan_spec(
+                self._plans, [g.num_arcs for g in self.graphs])
+        return self._plans, self._plan_spec
 
     @classmethod
     def from_fsts(cls, fsts: list[Fst], trans_model: TransitionModel) -> "AlignmentSet":
@@ -33,14 +65,87 @@ class AlignmentSet:
 
     def align(self, loglikes, num_frames, acoustic_scale: float = 1.0,
               beam: float = 1e9):
-        """loglikes [B, T, P]; returns list of alignment dicts (tids etc.)."""
+        """loglikes [B, T, P] (already on device / materializable); returns
+        list of alignment dicts (tids etc.).  Backtrace runs on device."""
         p = self.padded
         alpha_end, bps = V.viterbi_forward_batched(
             p["arc_src"], p["levels"], p["arc_pdf"], p["arc_score"],
             p["alpha0"], loglikes, num_frames,
             np.float32(acoustic_scale), np.float32(beam), p["num_states"])
-        return V.backtrace_batched(p, self.graphs, np.asarray(alpha_end),
-                                   np.asarray(bps), np.asarray(num_frames))
+        nf = jnp.asarray(num_frames)
+        arcs, ok, end_state, score = V.backtrace_batched_device(
+            jnp.asarray(p["arc_src"]), alpha_end,
+            jnp.asarray(p["final_score"]), bps, nf)
+        return V.assemble_batched_results(
+            self.graphs, np.asarray(arcs), np.asarray(ok),
+            np.asarray(end_state), np.asarray(score), np.asarray(num_frames))
+
+    def align_feats(self, params, feats: np.ndarray, num_frames: np.ndarray,
+                    acoustic_scale: float = 1.0, beam: float = 1e9):
+        """Chunked alignment from features: computes loglikes per sub-batch
+        (never materializing the full [B, T, P]) and aligns each sub-batch
+        with a bounded device footprint.  ``params`` is a packed GMM
+        (ops/gmm_kernels.pack_gmm); feats [B, T, D] host array.
+
+        Sub-batches share one padded shape (global S/A/plan spec, fixed
+        chunk batch size, frame counts bucketed to multiples of 128) so the
+        whole EM loop compiles a handful of programs, not one per chunk.
+        """
+        from ..ops import gmm_kernels as K
+
+        feats = np.asarray(feats)
+        num_frames = np.asarray(num_frames)
+        b_total = len(self.graphs)
+        if b_total == 0:
+            return []
+        s_max = max(g.num_states for g in self.graphs)
+        a_max = max(g.num_arcs for g in self.graphs)
+        s_pad = s_max + 1
+        num_pdfs = int(params.gconsts.shape[0])
+        plans, (depth, rows) = self._graph_plans(s_pad)
+
+        # fixed chunk batch size from the worst-case (longest) bucket
+        t_bucket_max = max(128, -(-int(num_frames.max()) // 128) * 128)
+        bytes_per_utt = 4 * t_bucket_max * (num_pdfs + 2 * s_pad)
+        b_chunk = int(max(8, min(b_total, self.max_chunk_bytes // bytes_per_utt)))
+
+        order = np.argsort(-num_frames, kind="stable")
+        results: list = [None] * b_total
+        for lo in range(0, len(order), b_chunk):
+            idx = order[lo: lo + b_chunk]
+            real = len(idx)
+            # pad the tail chunk with repeats at 0 frames (masked inactive)
+            if real < b_chunk:
+                idx = np.concatenate(
+                    [idx, np.full(b_chunk - real, idx[0], np.int64)])
+            nf_c = num_frames[idx].copy()
+            nf_c[real:] = 0
+            t_c = max(128, -(-int(nf_c.max()) // 128) * 128)
+            graphs_c = [self.graphs[i] for i in idx]
+            padded = V.pad_graphs(
+                graphs_c, pad_states=s_max, pad_arcs=a_max,
+                plans=[plans[i] for i in idx], plan_depth=depth,
+                plan_rows=rows)
+            feats_c = np.zeros((b_chunk, t_c, feats.shape[2]), np.float32)
+            for j, i in enumerate(idx[:real]):
+                n = int(num_frames[i])
+                feats_c[j, :n] = feats[i, :n]
+            ll = K.loglikes_batch(params, jnp.asarray(feats_c))
+            nf_j = jnp.asarray(nf_c)
+            alpha_end, bps = V.viterbi_forward_batched(
+                padded["arc_src"], padded["levels"], padded["arc_pdf"],
+                padded["arc_score"], padded["alpha0"], ll, nf_j,
+                np.float32(acoustic_scale), np.float32(beam),
+                padded["num_states"])
+            arcs, ok, end_state, score = V.backtrace_batched_device(
+                jnp.asarray(padded["arc_src"]), alpha_end,
+                jnp.asarray(padded["final_score"]), bps, nf_j)
+            chunk_res = V.assemble_batched_results(
+                graphs_c[:real], np.asarray(arcs), np.asarray(ok),
+                np.asarray(end_state), np.asarray(score), nf_c)
+            for j, i in enumerate(idx[:real]):
+                results[int(i)] = chunk_res[j]
+        return results
 
 
 def apply_alignments(results: list, tids: np.ndarray, weights: np.ndarray,
@@ -189,8 +294,8 @@ def align_utterances(am, trans_model, lang, feats_by_utt: dict,
     align_am = am
     if boost_silence != 1.0 and silence_pdfs:
         align_am = am.boost_silence(silence_pdfs, boost_silence)
-    ll = K.loglikes_batch(K.pack_gmm(align_am), jnp.asarray(feats))
-    results = aset.align(ll, jnp.asarray(nf), acoustic_scale=acoustic_scale)
+    results = aset.align_feats(K.pack_gmm(align_am), feats, nf,
+                               acoustic_scale=acoustic_scale)
     out = {}
     for u, r in zip(utts, results):
         out[u] = r["tids"]

@@ -103,6 +103,20 @@ class Decoder:
         nf[:b] = num_frames
         return padded, nf, b
 
+    def _batch_chunk(self, t_pad: int, extra_per_utt_bytes: float = 0.0,
+                     device_budget: float = 768e6,
+                     fetch_budget: float = 48e6) -> int:
+        """Utterances per decode dispatch so device residents (loglikes +
+        per-frame state tables) stay under ``device_budget`` and any
+        host-fetched per-utterance artifact (``extra_per_utt_bytes``, e.g.
+        lattice survivor masks) stays under ``fetch_budget`` — the remote
+        worker crashes on multi-GB allocations and >~200 MB transfers."""
+        p = self.params.gconsts.shape[0]
+        dev_per_utt = 4.0 * t_pad * (p + self.plan.num_states + 1)
+        n = min(device_budget / dev_per_utt,
+                fetch_budget / max(extra_per_utt_bytes, 1.0))
+        return int(max(4, min(512, n)))
+
     def decode_batch(self, utts: list[str], feats: np.ndarray,
                      num_frames: np.ndarray,
                      acoustic_scale: float | None = None,
@@ -111,20 +125,25 @@ class Decoder:
 
         Search is EXACT (infinite beam): the dense relaxation touches every
         state each frame regardless, so pruning would save nothing and can
-        only lose paths (the reference's beam exists for CPU token passing)."""
+        only lose paths (the reference's beam exists for CPU token passing).
+        Large batches are decoded in bounded sub-batches (worker memory)."""
         from ..ops import decode_core as DC
 
         acwt = self.opts.acoustic_scale if acoustic_scale is None else acoustic_scale
-        feats, nf, b_real = self._bucket(np.asarray(feats),
-                                         np.asarray(num_frames))
-        ll = self._loglikes(jnp.asarray(feats))
-        paths = DC.decode_best_path(
-            self.graph, self.plan, self.plan_dev, ll, nf,
-            acoustic_scale=acwt, chunk=self._bp_chunk(feats.shape[0]))
+        feats = np.asarray(feats)
+        num_frames = np.asarray(num_frames)
+        b_chunk = self._batch_chunk(max(128, -(-feats.shape[1] // 128) * 128))
         out = []
-        for u, r in zip(utts, paths[:b_real]):
-            out.append(DecodeResult(u, r["words"], r["score"],
-                                    r["tids"] if keep_tids else []))
+        for lo in range(0, len(utts), b_chunk):
+            hi = min(len(utts), lo + b_chunk)
+            f, nf, b_real = self._bucket(feats[lo:hi], num_frames[lo:hi])
+            ll = self._loglikes(jnp.asarray(f))
+            paths = DC.decode_best_path(
+                self.graph, self.plan, self.plan_dev, ll, nf,
+                acoustic_scale=acwt, chunk=self._bp_chunk(f.shape[0]))
+            for u, r in zip(utts[lo:hi], paths[:b_real]):
+                out.append(DecodeResult(u, r["words"], r["score"],
+                                        r["tids"] if keep_tids else []))
         return out
 
     def decode_sweep(self, utts: list[str], feats: np.ndarray,
@@ -148,19 +167,32 @@ class Decoder:
         g = self.graph
         if not hasattr(self, "_rev_levels"):
             self._rev_levels = LAT.build_src_plan(g, k=8)
-        ll = self._loglikes(jnp.asarray(feats))
-        nf = np.asarray(num_frames)
-        mask, _best, _aend, use_final = LAT.lattice_forward_backward(
-            g, self.levels, self._rev_levels, ll, nf,
-            acoustic_scale=acwt, beam=self.opts.beam,
-            lattice_beam=self.opts.lattice_beam,
-            max_active=self.opts.max_active,
-            # fixed window: a max(nf)-derived window recompiles the jitted
-            # window program for every distinct batch length (VERDICT r1 #8);
-            # lattice_forward_backward pads T internally
-            window=64)
-        lats = build_lattices(g, mask, np.asarray(ll), nf, use_final)
-        return dict(zip(utts, lats))
+        feats = np.asarray(feats)
+        num_frames = np.asarray(num_frames)
+        t_pad = max(64, -(-feats.shape[1] // 64) * 64)
+        # the survivor masks ([T, B, A/8] packed) and per-chunk loglikes are
+        # fetched to the host — bound both per sub-batch
+        mask_per_utt = t_pad * g.num_arcs / 8.0
+        ll_per_utt = t_pad * self.params.gconsts.shape[0] * 4.0
+        b_chunk = self._batch_chunk(
+            t_pad, extra_per_utt_bytes=max(mask_per_utt, ll_per_utt))
+        out: dict = {}
+        for lo in range(0, len(utts), b_chunk):
+            hi = min(len(utts), lo + b_chunk)
+            f, nf = feats[lo:hi], num_frames[lo:hi]
+            ll = self._loglikes(jnp.asarray(f))
+            mask, _best, _aend, use_final = LAT.lattice_forward_backward(
+                g, self.levels, self._rev_levels, ll, nf,
+                acoustic_scale=acwt, beam=self.opts.beam,
+                lattice_beam=self.opts.lattice_beam,
+                max_active=self.opts.max_active,
+                # fixed window: a max(nf)-derived window recompiles the jitted
+                # window program per distinct batch length (VERDICT r1 #8);
+                # lattice_forward_backward pads T internally
+                window=64)
+            lats = build_lattices(g, mask, np.asarray(ll), nf, use_final)
+            out.update(zip(utts[lo:hi], lats))
+        return out
 
     def decode_sweep_lattice(self, utts: list[str], feats: np.ndarray,
                              num_frames: np.ndarray, lmwts: list[int],

@@ -48,8 +48,8 @@ def decode_fmllr(hclg: Fst, trans_model: TransitionModel, am: AmDiagGmm,
     spk_of_utt = np.asarray([spk_idx[utt2spk[u]] for u in utts], np.int32)
     spk_flat = np.repeat(np.repeat(spk_of_utt, t_max), K_POST)
     sil_set = set(lang.silence_phone_ids)
-    base_flat = jnp.asarray(feats.reshape(b * t_max, dim))
-    frame_rep = np.repeat(np.arange(b * t_max), K_POST)
+    base_rep = feats.reshape(b * t_max, dim)[
+        np.repeat(np.arange(b * t_max), K_POST)]  # host: [N*K, D]
 
     def lattice_posteriors(lats):
         """Per-frame top-K (pdf, weight) from lattice posteriors, silence
@@ -72,11 +72,9 @@ def decode_fmllr(hclg: Fst, trans_model: TransitionModel, am: AmDiagGmm,
 
     def estimate(model, pdf_flat, wflat):
         params = K.pack_gmm(model)
-        x = base_flat[jnp.asarray(frame_rep)]
         beta, k, g = acc_fmllr_stats(
             params, jnp.asarray(model.means()), jnp.asarray(model.inv_vars),
-            x, jnp.asarray(pdf_flat), jnp.asarray(wflat),
-            jnp.asarray(spk_flat), len(speakers))
+            base_rep, pdf_flat, wflat, spk_flat, len(speakers))
         trans, imprs = estimate_fmllr_batch(np.asarray(beta), np.asarray(k),
                                             np.asarray(g),
                                             min_count=opts.fmllr_min_count)
@@ -105,15 +103,23 @@ def decode_fmllr(hclg: Fst, trans_model: TransitionModel, am: AmDiagGmm,
     # (GmmRescoreLattice -> LatticeDeterminizePruned, decode_fmllr.cpp:583-640)
     from ..lat import determinize_lattice_pruned_safe
 
-    ll2 = np.asarray(K.loglikes_batch(ad_dec.params, jnp.asarray(adapted2)))
     results = []
-    for i, u in enumerate(utts):
-        lat = rescore_lattice_acoustics(ad_lats[u], ll2[i])
-        clat = determinize_lattice_pruned_safe(
-            lat, beam=opts.lattice_beam, lm_scale=1.0,
-            acoustic_scale=opts.acoustic_scale)
-        p = clat.best_path(lm_scale=1.0, acoustic_scale=opts.acoustic_scale)
-        results.append(DecodeResult(u, p["words"], p["score"], p["tids"]))
+    num_pdfs = int(am.num_pdfs)
+    # the [B, T, P] loglikes are fetched for host-side rescoring — bound the
+    # transfer per sub-batch (the remote link chokes on >~200 MB fetches)
+    b_chunk = max(4, int(64e6 // max(t_max * num_pdfs * 4, 1)))
+    for lo in range(0, len(utts), b_chunk):
+        hi = min(len(utts), lo + b_chunk)
+        ll2 = np.asarray(K.loglikes_batch(ad_dec.params,
+                                          jnp.asarray(adapted2[lo:hi])))
+        for j, u in enumerate(utts[lo:hi]):
+            lat = rescore_lattice_acoustics(ad_lats[u], ll2[j])
+            clat = determinize_lattice_pruned_safe(
+                lat, beam=opts.lattice_beam, lm_scale=1.0,
+                acoustic_scale=opts.acoustic_scale)
+            p = clat.best_path(lm_scale=1.0,
+                               acoustic_scale=opts.acoustic_scale)
+            results.append(DecodeResult(u, p["words"], p["score"], p["tids"]))
     return results, trans2
 
 

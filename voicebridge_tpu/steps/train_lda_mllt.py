@@ -141,9 +141,8 @@ def train_lda_mllt(base_feats: dict, transcripts: dict, prev_alignments: dict,
         if it in opts.realign_iters:
             align_am = (am.boost_silence(silence_pdfs, opts.boost_silence)
                         if opts.boost_silence != 1.0 else am)
-            ll_frames = K.loglikes_batch(K.pack_gmm(align_am), jnp.asarray(feats))
-            results = aset.align(ll_frames, jnp.asarray(num_frames),
-                                 acoustic_scale=opts.acoustic_scale)
+            results = aset.align_feats(K.pack_gmm(align_am), feats, num_frames,
+                                       acoustic_scale=opts.acoustic_scale)
             apply_alignments(results, tids, weights, num_frames,
                              "train_lda_mllt realign", names=utts)
 
@@ -169,12 +168,11 @@ def train_lda_mllt(base_feats: dict, transcripts: dict, prev_alignments: dict,
         tflat = tids.reshape(-1)
         wflat = weights.reshape(-1)
         pdfs = trans_model.tid2pdf[tflat]
-        occ, macc, vacc = K.acc_gmm_stats(params, x, pdfs, tree.num_pdfs, wflat)
+        occ, macc, vacc, ll = K.acc_gmm_stats_chunked(
+            params, x, pdfs, tree.num_pdfs, wflat)
         tstats = K.acc_transition_stats(jnp.asarray(tflat),
                                         trans_model.num_transition_ids,
                                         jnp.asarray(wflat))
-        ll = K.aligned_loglike(params, x, pdfs, wflat)
-        occ, macc, vacc = np.asarray(occ), np.asarray(macc), np.asarray(vacc)
         if it <= opts.max_iter_inc:
             num_gauss += inc_gauss
         am.mle_update(occ, macc, vacc, opts.min_gaussian_occupancy,

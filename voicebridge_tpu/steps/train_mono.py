@@ -116,14 +116,12 @@ def train_mono(feats_by_utt: dict[str, np.ndarray],
         params = K.pack_gmm(am)
         x = feats.reshape(b * t_max, dim)
         pdfs = trans_model.tid2pdf[tids_flat]
-        occ, macc, vacc = K.acc_gmm_stats(params, x, pdfs, tree.num_pdfs,
-                                          weights_flat)
+        occ, macc, vacc, ll = K.acc_gmm_stats_chunked(
+            params, x, pdfs, tree.num_pdfs, weights_flat)
         tstats = K.acc_transition_stats(jnp.asarray(tids_flat),
                                         trans_model.num_transition_ids,
                                         jnp.asarray(weights_flat))
-        ll = K.aligned_loglike(params, x, pdfs, weights_flat)
-        return (np.asarray(occ), np.asarray(macc), np.asarray(vacc),
-                np.asarray(tstats), float(ll))
+        return occ, macc, vacc, np.asarray(tstats), ll
 
     # ---- STAGE 0: first estimate from equal alignment ----------------------
     occ, macc, vacc, tstats, ll = accumulate(tids.reshape(-1), weights.reshape(-1))
@@ -163,12 +161,11 @@ def train_mono(feats_by_utt: dict[str, np.ndarray],
         if it in opts.realign_iters:
             align_am = (am.boost_silence(silence_pdfs, opts.boost_silence)
                         if opts.boost_silence != 1.0 else am)
-            params = K.pack_gmm(align_am)
-            ll_frames = K.loglikes_batch(params, jnp.asarray(feats))
             # exact Viterbi (no pruning): graphs are small; the reference's
             # beam/retry_beam machinery only bounds token-passing cost on CPU
-            results = aset.align(ll_frames, jnp.asarray(num_frames),
-                                 acoustic_scale=opts.acoustic_scale, beam=1e9)
+            results = aset.align_feats(K.pack_gmm(align_am), feats, num_frames,
+                                       acoustic_scale=opts.acoustic_scale,
+                                       beam=1e9)
             apply_alignments(results, tids, weights, num_frames,
                              "train_mono realign", names=utts)
 

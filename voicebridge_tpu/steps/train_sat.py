@@ -74,7 +74,7 @@ def train_sat(base_feats: dict, utt2spk: dict, transcripts: dict,
     spk_of_utt = np.asarray([spk_idx[utt2spk[u]] for u in utts], np.int32)
     spk_flat = np.repeat(spk_of_utt, t_max)
     sil_set = set(lang.silence_phone_ids)
-    base_flat = jnp.asarray(raw.reshape(b * t_max, dim))
+    base_flat = raw.reshape(b * t_max, dim)  # host array; stats wrappers chunk it
 
     tids = np.zeros((b, t_max), np.int32)
     weights = np.zeros((b, t_max), np.float32)
@@ -146,9 +146,8 @@ def train_sat(base_feats: dict, utt2spk: dict, transcripts: dict,
         if it in opts.realign_iters:
             align_am = (am.boost_silence(silence_pdfs, opts.boost_silence)
                         if opts.boost_silence != 1.0 else am)
-            ll_frames = K.loglikes_batch(K.pack_gmm(align_am), jnp.asarray(feats))
-            results = aset.align(ll_frames, jnp.asarray(num_frames),
-                                 acoustic_scale=opts.acoustic_scale)
+            results = aset.align_feats(K.pack_gmm(align_am), feats, num_frames,
+                                       acoustic_scale=opts.acoustic_scale)
             apply_alignments(results, tids, weights, num_frames,
                              "train_sat realign", names=utts)
 
@@ -157,12 +156,11 @@ def train_sat(base_feats: dict, utt2spk: dict, transcripts: dict,
         tflat = tids.reshape(-1)
         wflat = weights.reshape(-1)
         pdfs = trans_model.tid2pdf[tflat]
-        occ, macc, vacc = K.acc_gmm_stats(params, x, pdfs, tree.num_pdfs, wflat)
+        occ, macc, vacc, ll = K.acc_gmm_stats_chunked(
+            params, x, pdfs, tree.num_pdfs, wflat)
         tstats = K.acc_transition_stats(jnp.asarray(tflat),
                                         trans_model.num_transition_ids,
                                         jnp.asarray(wflat))
-        ll = K.aligned_loglike(params, x, pdfs, wflat)
-        occ = np.asarray(occ)
         if it <= opts.max_iter_inc:
             num_gauss += inc_gauss
         am.mle_update(occ, np.asarray(macc), np.asarray(vacc),
@@ -179,19 +177,11 @@ def train_sat(base_feats: dict, utt2spk: dict, transcripts: dict,
     x_adapted = feats.reshape(b * t_max, dim)
     pdfs = trans_model.tid2pdf[tids.reshape(-1)]
     wflat = weights.reshape(-1)
-    import jax
-
-    comp = K.component_logliks(params, jnp.asarray(x_adapted))
-    sel = jnp.take_along_axis(comp, jnp.asarray(pdfs)[:, None, None], axis=1)[:, 0, :]
-    gamma = jax.nn.softmax(sel, axis=1) * jnp.asarray(wflat)[:, None]
-    occ2 = jax.ops.segment_sum(gamma, jnp.asarray(pdfs), tree.num_pdfs)
-    gx = gamma[:, :, None] * base_flat[:, None, :]
-    macc2 = jax.ops.segment_sum(gx, jnp.asarray(pdfs), tree.num_pdfs)
-    vacc2 = jax.ops.segment_sum(gx * base_flat[:, None, :], jnp.asarray(pdfs),
-                                tree.num_pdfs)
+    occ2, macc2, vacc2, _ll2 = K.acc_gmm_stats_twofeats_chunked(
+        params, x_adapted, base_flat, pdfs, tree.num_pdfs, wflat)
     alimdl = AmDiagGmm(am.means_invvars.copy(), am.inv_vars.copy(),
                        am.weights.copy())
-    alimdl.mle_update(np.asarray(occ2), np.asarray(macc2), np.asarray(vacc2),
+    alimdl.mle_update(occ2, macc2, vacc2,
                       opts.min_gaussian_occupancy, opts.min_variance)
 
     model = TrainedModel(am, trans_model, tree, lang)

@@ -22,33 +22,82 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.gmm_kernels import GmmParams, component_logliks
+from ..ops.gmm_kernels import GmmParams, aligned_mixture_logliks
+
+
+@jax.jit
+def _fmllr_frame_stats(params: GmmParams, means, inv_vars, feats, pdf_ids,
+                       weights):
+    """Per-frame collapsed stats for one chunk: [N, D] w_miv / w_iv +
+    per-frame gamma mass (everything downstream is MXU matmuls)."""
+    sel = aligned_mixture_logliks(params, feats, pdf_ids)  # [N, M]
+    gamma = jax.nn.softmax(sel, axis=1) * weights[:, None]  # [N, M]
+    mu = means[pdf_ids]  # [N, M, D]
+    iv = inv_vars[pdf_ids]
+    w_miv = jnp.einsum("nm,nmd->nd", gamma, mu * iv)
+    w_iv = jnp.einsum("nm,nmd->nd", gamma, iv)
+    return jnp.sum(gamma, axis=1), w_miv, w_iv
+
+
+@jax.jit
+def _fmllr_reduce_one(gmass, w_miv, w_iv, feats):
+    """One speaker-chunk's (beta, K [D, D+1], G [D, D+1, D+1]): MXU-shaped
+    contractions that never materialize an [N, D, E, E] intermediate (the
+    naive per-frame outer-product segment-sum is hundreds of GB at corpus
+    scale)."""
+    n = feats.shape[0]
+    xhat = jnp.concatenate([feats, jnp.ones((n, 1), feats.dtype)], axis=1)
+    beta = jnp.sum(gmass)
+    k = jnp.einsum("nd,ne->de", w_miv, xhat,
+                   precision=jax.lax.Precision.HIGHEST)
+    y = w_iv[:, :, None] * xhat[:, None, :]  # [N, D, E]
+    g = jnp.einsum("nde,nf->def", y, xhat,
+                   precision=jax.lax.Precision.HIGHEST)
+    return beta, k, g
 
 
 def acc_fmllr_stats(params: GmmParams, means: jnp.ndarray, inv_vars: jnp.ndarray,
                     feats: jnp.ndarray, pdf_ids: jnp.ndarray,
                     weights: jnp.ndarray, spk_ids: jnp.ndarray,
-                    num_speakers: int):
-    """feats [N, D]; spk_ids [N] -> (beta [S], K [S, D, D+1], G [S, D, D+1, D+1])."""
+                    num_speakers: int, chunk: int = 1 << 14):
+    """feats [N, D]; spk_ids [N] -> (beta [S], K [S, D, D+1], G [S, D, D+1, D+1]).
+
+    Host wrapper: frames are grouped per speaker and processed in fixed-size
+    padded chunks so device intermediates stay bounded at corpus scale
+    (FmllrDiagGmmAccs role, ``transform/fmllr-diag-gmm.h:43-61``)."""
+    feats = np.asarray(feats, np.float32)
+    pdf_ids = np.asarray(pdf_ids, np.int32)
+    weights = np.asarray(weights, np.float32)
+    spk_ids = np.asarray(spk_ids, np.int32)
     n, d = feats.shape
-    comp = component_logliks(params, feats)
-    sel = jnp.take_along_axis(comp, pdf_ids[:, None, None], axis=1)[:, 0, :]
-    gamma = jax.nn.softmax(sel, axis=1) * weights[:, None]  # [N, M]
-    mu = means[pdf_ids]  # [N, M, D]
-    iv = inv_vars[pdf_ids]
-    xhat = jnp.concatenate([feats, jnp.ones((n, 1), feats.dtype)], axis=1)  # [N, D+1]
-    # per-frame collapsed stats over mixtures:
-    w_miv = jnp.einsum("nm,nmd->nd", gamma, mu * iv)  # sum gamma mu/var  [N, D]
-    w_iv = jnp.einsum("nm,nmd->nd", gamma, iv)  # sum gamma / var        [N, D]
-    beta = jax.ops.segment_sum(jnp.sum(gamma, axis=1), spk_ids, num_speakers)
-    # K_s[d, e] = sum_n w_miv[n, d] xhat[n, e]
-    k = jax.ops.segment_sum(w_miv[:, :, None] * xhat[:, None, :], spk_ids,
-                            num_speakers)
-    # G_s[d, e, f] = sum_n w_iv[n, d] xhat[n, e] xhat[n, f]
-    outer = xhat[:, :, None] * xhat[:, None, :]  # [N, D+1, D+1]
-    g = jax.ops.segment_sum(w_iv[:, :, None, None] * outer[:, None, :, :],
-                            spk_ids, num_speakers)
-    return beta, k, g
+    order = np.argsort(spk_ids, kind="stable")
+    sorted_spk = spk_ids[order]
+    starts = np.searchsorted(sorted_spk, np.arange(num_speakers + 1))
+    c = min(chunk, 1 << max(12, (max(n, 2) - 1).bit_length()))
+    beta = np.zeros(num_speakers, np.float64)
+    k = np.zeros((num_speakers, d, d + 1), np.float64)
+    g = np.zeros((num_speakers, d, d + 1, d + 1), np.float64)
+    for s in range(num_speakers):
+        span = order[starts[s]: starts[s + 1]]
+        for lo in range(0, len(span), c):
+            idx = span[lo: lo + c]
+            real = len(idx)
+            if real < c:
+                idx = np.concatenate(
+                    [idx, np.full(c - real, idx[0], np.int64)])
+            w_c = weights[idx].copy()
+            w_c[real:] = 0.0
+            x_c = jnp.asarray(feats[idx])
+            gmass, w_miv, w_iv = _fmllr_frame_stats(
+                params, means, inv_vars, x_c,
+                jnp.asarray(pdf_ids[idx]), jnp.asarray(w_c))
+            b_c, k_c, g_c = _fmllr_reduce_one(gmass, w_miv, w_iv, x_c)
+            beta[s] += float(b_c)
+            k[s] += np.asarray(k_c, np.float64)
+            g[s] += np.asarray(g_c, np.float64)
+    return (jnp.asarray(beta.astype(np.float32)),
+            jnp.asarray(k.astype(np.float32)),
+            jnp.asarray(g.astype(np.float32)))
 
 
 def estimate_fmllr(beta: float, k: np.ndarray, g: np.ndarray,

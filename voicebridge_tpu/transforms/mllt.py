@@ -22,30 +22,60 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.gmm_kernels import GmmParams, component_logliks
+from ..ops.gmm_kernels import GmmParams, aligned_mixture_logliks
+
+
+@jax.jit
+def _mllt_chunk(params: GmmParams, means, inv_vars, feats, pdf_ids, weights):
+    """One chunk's (G [D, D, D], beta): aligned-pdf gather + (n, m)-flattened
+    pairwise contractions ([K, D, D] intermediate, K = chunk * max_mix —
+    bounded, unlike the all-pdf [N, P, M] evaluation)."""
+    sel = aligned_mixture_logliks(params, feats, pdf_ids)  # [N, M]
+    gamma = jax.nn.softmax(sel, axis=1) * weights[:, None]  # [N, M]
+    mu = means[pdf_ids]  # [N, M, D]
+    iv = inv_vars[pdf_ids]  # [N, M, D]
+    n, m, d = mu.shape
+    diff = (feats[:, None, :] - mu).reshape(n * m, d)  # [K, D]
+    w = (gamma[:, :, None] * iv).reshape(n * m, d)  # [K, D]
+    # G[d, i, j] = sum_k w[k, d] diff[k, i] diff[k, j]
+    y = w[:, :, None] * diff[:, None, :]  # [K, D, D]
+    g = jnp.einsum("kdi,kj->dij", y, diff,
+                   precision=jax.lax.Precision.HIGHEST)
+    return g, jnp.sum(gamma)
 
 
 def acc_mllt_stats(params: GmmParams, means: jnp.ndarray, inv_vars: jnp.ndarray,
                    feats: jnp.ndarray, pdf_ids: jnp.ndarray,
-                   weights: jnp.ndarray):
+                   weights: jnp.ndarray, chunk: int = 1 << 13):
     """feats [N, D]; means/inv_vars [P, M, D] -> (G [D, D, D], beta).
 
-    G[d] is accumulated with one einsum over the posterior-weighted centered
-    outer products — the reference's per-frame loop
-    (MlltAccs::AccumulateFromPosteriors) becomes three fused contractions.
+    Chunked host wrapper (fixed-size zero-weight-padded chunks) over the
+    jitted contraction — the reference's per-frame loop
+    (MlltAccs::AccumulateFromPosteriors) at corpus scale.
     """
-    comp = component_logliks(params, feats)  # [N, P, M]
-    sel = jnp.take_along_axis(comp, pdf_ids[:, None, None], axis=1)[:, 0, :]
-    gamma = jax.nn.softmax(sel, axis=1) * weights[:, None]  # [N, M]
-    mu = means[pdf_ids]  # [N, M, D]
-    iv = inv_vars[pdf_ids]  # [N, M, D]
-    diff = feats[:, None, :] - mu  # [N, M, D]
-    w = gamma[:, :, None] * iv  # [N, M, D] (gamma * 1/var_d) per output dim d
-    # G[d, i, j] = sum_n sum_m w[n, m, d] * diff[n, m, i] * diff[n, m, j]
-    g = jnp.einsum("nmd,nmi,nmj->dij", w, diff, diff,
-                   precision=jax.lax.Precision.HIGHEST)
-    beta = jnp.sum(gamma)
-    return g, beta
+    feats = np.asarray(feats, np.float32)
+    pdf_ids = np.asarray(pdf_ids, np.int32)
+    weights = np.asarray(weights, np.float32)
+    n, d = feats.shape
+    c = min(chunk, 1 << max(11, (max(n, 2) - 1).bit_length()))
+    g = np.zeros((d, d, d), np.float64)
+    beta = 0.0
+    for lo in range(0, n, c):
+        hi = min(n, lo + c)
+        if hi - lo < c:
+            xs = np.zeros((c, d), np.float32)
+            xs[: hi - lo] = feats[lo:hi]
+            ps = np.zeros(c, np.int32)
+            ps[: hi - lo] = pdf_ids[lo:hi]
+            ws = np.zeros(c, np.float32)
+            ws[: hi - lo] = weights[lo:hi]
+        else:
+            xs, ps, ws = feats[lo:hi], pdf_ids[lo:hi], weights[lo:hi]
+        g_c, b_c = _mllt_chunk(params, means, inv_vars, jnp.asarray(xs),
+                               jnp.asarray(ps), jnp.asarray(ws))
+        g += np.asarray(g_c, np.float64)
+        beta += float(b_c)
+    return jnp.asarray(g.astype(np.float32)), beta
 
 
 def est_mllt(g: np.ndarray, beta: float, num_iters: int = 200,
