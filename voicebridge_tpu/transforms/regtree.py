@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.gmm_kernels import GmmParams, component_logliks
+from ..ops.gmm_kernels import (GmmParams, aligned_mixture_logliks,
+                               component_logliks)
 from .fmllr import estimate_fmllr_batch
 
 
@@ -159,8 +160,7 @@ def acc_regtree_fmllr_stats(params: GmmParams, means: jnp.ndarray,
     bclass_of [P, M] -> (beta [C], K [C, D, D+1], G [C, D, D+1, D+1]).
     """
     n, d = feats.shape
-    comp = component_logliks(params, feats)
-    sel = jnp.take_along_axis(comp, pdf_ids[:, None, None], axis=1)[:, 0, :]
+    sel = aligned_mixture_logliks(params, feats, pdf_ids)  # [N, M]
     gamma = jax.nn.softmax(sel, axis=1) * weights[:, None]        # [N, M]
     cls = jnp.asarray(bclass_of)[pdf_ids]                          # [N, M]
     onehot = jax.nn.one_hot(cls, num_classes, dtype=feats.dtype)   # [N, M, C]
