@@ -251,3 +251,26 @@ class TestLatticePipeline:
         for u in utts:
             d = lattice_depth_per_frame(lats[u])
             assert d.shape[0] == lats[u].nf and (d >= 1).all()
+
+
+class TestRowsFbParity:
+    def test_rows_fb_matches_reference_fb(self, tiny):
+        """The batch-minor row-based FB (production path) must produce the
+        same survivor sets, totals, and use_final as the reference windowed
+        FB at infinite forward beam."""
+        from voicebridge_tpu.lat import build_lattices_packed
+
+        g, ll, nf = tiny["g"], tiny["ll"], tiny["nf"]
+        plan, fwd_dev, bwd_dev, row_dst = LAT.build_lattice_plans(g)
+        packed, best, aend, use_final = LAT.lattice_forward_backward_rows(
+            g, plan, fwd_dev, bwd_dev, row_dst, jnp.asarray(ll), nf,
+            acoustic_scale=tiny["acwt"], lattice_beam=tiny["lbeam"],
+            window=4)
+        np.testing.assert_allclose(best, tiny["best"], atol=1e-3)
+        lats = build_lattices_packed(g, plan.row_arc, packed, ll, nf,
+                                     use_final)
+        for lat_new, lat_old in zip(lats, tiny["lats"]):
+            got = set(zip(lat_new.arc_t.tolist(), lat_new.arc_id.tolist()))
+            want = set(zip(lat_old.arc_t.tolist(), lat_old.arc_id.tolist()))
+            assert got == want
+            assert lat_new.use_final == lat_old.use_final

@@ -95,6 +95,22 @@ class Lattice:
         bounds = np.searchsorted(self.arc_t, np.arange(self.nf + 1))
         return bounds
 
+    def _compact(self):
+        """(states [K], src_c [M], dst_c [M]): graph states touched by this
+        lattice and per-arc endpoints remapped into [0, K).  Sweeps allocate
+        [K]-sized frames instead of dense [num_graph_states] — on a real HCLG
+        (~90k states) the touched set is orders of magnitude smaller."""
+        cached = self._states.get("compact")
+        if cached is None:
+            starts = self.start_entries()[0]
+            states = np.unique(np.concatenate(
+                [self.arc_src, self.arc_dst, starts.astype(np.int64)]))
+            src_c = np.searchsorted(states, self.arc_src).astype(np.int64)
+            dst_c = np.searchsorted(states, self.arc_dst).astype(np.int64)
+            cached = (states, src_c, dst_c)
+            self._states["compact"] = cached
+        return cached
+
     def start_entries(self):
         """(states, costs, oseq ids) of lattice entry points at t=0."""
         g = self.graph
@@ -128,52 +144,148 @@ def build_lattices(graph: DenseGraph, mask: np.ndarray, ll: np.ndarray,
     return out
 
 
+def build_lattices_packed(graph: DenseGraph, row_arc: np.ndarray,
+                          packed: np.ndarray, ll: np.ndarray, num_frames,
+                          use_final: np.ndarray) -> list[Lattice]:
+    """Assemble lattices from the row-based FB's packed survivor bits
+    WITHOUT unpacking the dense [T, A] mask: survivors are sparse, so only
+    nonzero bytes are expanded (~1000x less host work on a real HCLG).
+
+    packed [T, nbytes, B] uint8 (row-major bit positions = row * D + slot);
+    row_arc: EmitPlan.row_arc (maps positions to graph arc ids, -1 = pad);
+    ll [B, T, P] host loglikes.
+    """
+    row_arc_flat = row_arc.reshape(-1)
+    n_pos = len(row_arc_flat)
+    out = []
+    for i in range(packed.shape[2]):
+        nf = int(num_frames[i])
+        pk = packed[:nf, :, i]
+        ts_b, bytes_b = np.nonzero(pk)
+        if len(ts_b) == 0:
+            out.append(Lattice(graph=graph, nf=nf,
+                               arc_t=np.zeros(0, np.int32),
+                               arc_id=np.zeros(0, np.int32),
+                               acoustic_cost=np.zeros(0, np.float32),
+                               use_final=bool(use_final[i])))
+            continue
+        bits = np.unpackbits(pk[ts_b, bytes_b][:, None], axis=1)  # [n, 8]
+        pos = bytes_b[:, None] * 8 + np.arange(8)[None, :]
+        keep = (bits == 1) & (pos < n_pos)
+        ts = np.repeat(ts_b, 8).reshape(-1, 8)[keep].astype(np.int32)
+        arcs = row_arc_flat[pos[keep]]
+        ok = arcs >= 0
+        ts, arcs = ts[ok], arcs[ok].astype(np.int32)
+        order = np.argsort(ts, kind="stable")
+        ts, arcs = ts[order], arcs[order]
+        ac = -ll[i, ts, graph.arc_pdf[arcs]].astype(np.float32)
+        out.append(Lattice(graph=graph, nf=nf, arc_t=ts, arc_id=arcs,
+                           acoustic_cost=ac, use_final=bool(use_final[i])))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Forward sweeps over a lattice (all vectorized per frame)
 # ---------------------------------------------------------------------------
 
 
 def _sweep(lat: Lattice, arc_cost: np.ndarray, mode: str,
-           lm_scale: float = 1.0):
-    """Shared forward sweep.  mode='min' (tropical/Viterbi, returns
-    backpointers) or 'log' (log semiring, returns alphas only).
+           lm_scale=1.0):
+    """Shared forward sweep over COMPACT lattice states.  mode='min'
+    (tropical/Viterbi, returns backpointers) or 'log' (log semiring, alphas
+    only).
 
-    Returns (alpha [nf+1, S_touched? no — dense over graph states], bp list).
-    State scores are dense [S] per frame boundary — the graph's state count
-    is the padded decode graph size, fine on host for one utterance.
+    ``arc_cost`` is [M] or [G, M] — a whole (LMWT, WIP) grid sweeps in one
+    pass (the reference shards its sweep over threads,
+    ``score_kaldi_wer.cpp:93-111``; here the grid is a vector axis).
+    ``lm_scale`` scales start costs ([G] or scalar).  Returns
+    (alphas: list of [G, K] per frame boundary, bps: list of [G, K]).
     """
-    g = lat.graph
-    s = g.num_states
+    states, src_c, dst_c = lat._compact()
+    k = len(states)
+    cost2 = arc_cost if arc_cost.ndim == 2 else arc_cost[None]
+    gdim = cost2.shape[0]
+    lms = np.broadcast_to(np.asarray(lm_scale, np.float64), (gdim,))
     inf = np.float64(np.inf)
-    alpha = np.full(s, inf)
+    alpha = np.full((gdim, k), inf)
     srcs, costs, _ = lat.start_entries()
-    alpha[srcs] = np.minimum(alpha[srcs], costs * lm_scale)  # start-closure costs are graph costs
+    start_c = np.searchsorted(states, srcs)
+    alpha[:, start_c] = lms[:, None] * costs[None, :]
     alphas = [alpha]
     bps = []
     bounds = lat._frame_slices()
-    src_all, dst_all = lat.arc_src, lat.arc_dst
+    rows = np.arange(gdim)[:, None]
     for t in range(lat.nf):
         lo, hi = bounds[t], bounds[t + 1]
-        sa, da, ca = src_all[lo:hi], dst_all[lo:hi], arc_cost[lo:hi]
-        cand = alpha[sa] + ca
-        new = np.full(s, inf)
+        sa, da, ca = src_c[lo:hi], dst_c[lo:hi], cost2[:, lo:hi]
+        cand = alpha[:, sa] + ca  # [G, H]
+        new = np.full((gdim, k), inf)
         if mode == "min":
-            bp = np.full(s, -1, np.int64)
-            order = np.argsort(cand, kind="stable")[::-1]
-            new[da[order]] = cand[order]
-            bp[da[order]] = np.arange(lo, hi)[order]
+            order = np.argsort(-cand, axis=1, kind="stable")  # descending
+            da_o = da[order]
+            new[rows, da_o] = np.take_along_axis(cand, order, axis=1)
+            bp = np.full((gdim, k), -1, np.int64)
+            bp[rows, da_o] = np.arange(lo, hi)[order]
             bps.append(bp)
         else:
             # stable -logsumexp(-cand) per dst: min as shift, then exp-sum
-            np.minimum.at(new, da, cand)
-            m = new[da]
-            acc = np.zeros(s)
-            np.add.at(acc, da, np.exp(-(cand - m)))
+            rows_b = np.broadcast_to(rows, cand.shape)
+            da_b = np.broadcast_to(da[None, :], cand.shape)
+            np.minimum.at(new, (rows_b, da_b), cand)
+            m = new[:, da]
+            acc = np.zeros((gdim, k))
+            np.add.at(acc, (rows_b, da_b), np.exp(-(cand - m)))
             new = np.where(np.isfinite(new),
                            new - np.log(np.maximum(acc, 1e-300)), inf)
         alpha = new
         alphas.append(alpha)
     return alphas, bps
+
+
+def lattice_best_path_grid(lat: Lattice, points: list) -> list[dict]:
+    """Viterbi best path per (lm_scale, acoustic_scale, word_penalty) grid
+    point, all points swept in ONE vectorized pass (``lattice-scale`` ->
+    ``lattice-add-penalty`` -> ``lattice-best-path`` per point,
+    ``score_kaldi_wer.cpp:279-356``).  Returns one result dict per point."""
+    g = lat.graph
+    states, src_c, _dst_c = lat._compact()
+    lms = np.asarray([p[0] for p in points], np.float64)
+    acs = np.asarray([p[1] for p in points], np.float64)
+    wps = np.asarray([p[2] for p in points], np.float64)
+    base = lat.graph_cost.astype(np.float64)
+    ac = lat.acoustic_cost.astype(np.float64)
+    cost = lms[:, None] * base[None, :] + acs[:, None] * ac[None, :]
+    if wps.any():
+        cost = cost + wps[:, None] * lat.num_words()[None, :].astype(np.float64)
+    alphas, bps = _sweep(lat, cost, "min", lms)
+    final = alphas[-1].copy()  # [G, K]
+    if lat.use_final:
+        fs = g.final_score[states]
+        fs = np.where(fs > NEG_INF / 2, -fs.astype(np.float64), np.inf)
+        final = final + lms[:, None] * fs[None, :]
+    out = []
+    for gi in range(len(points)):
+        if not np.isfinite(final[gi]).any():
+            out.append({"words": [], "tids": [], "score": -np.inf, "arcs": []})
+            continue
+        end_c = int(np.argmin(final[gi]))
+        total = float(final[gi][end_c])
+        arcs = []
+        s_cur = end_c
+        for t in range(lat.nf - 1, -1, -1):
+            m = int(bps[t][gi][s_cur])
+            arcs.append(m)
+            s_cur = int(src_c[m])
+        arcs.reverse()
+        words = list(g.oseqs[g.start_oseq[states[s_cur]]])
+        for m in arcs:
+            words.extend(lat.arc_words(m))
+        if lat.use_final:
+            words.extend(g.oseqs[g.final_oseq[states[end_c]]])
+        out.append({"words": words,
+                    "tids": [int(t) for t in lat.arc_tid[arcs]],
+                    "score": -total, "arcs": arcs})
+    return out
 
 
 def lattice_best_path(lat: Lattice, lm_scale: float = 1.0,
@@ -185,33 +297,8 @@ def lattice_best_path(lat: Lattice, lm_scale: float = 1.0,
     Returns {"words", "tids", "score", "arcs"} like the decoder backtraces
     (score in max-plus domain = -cost).
     """
-    g = lat.graph
-    cost = lat.arc_total_cost(lm_scale, acoustic_scale, word_penalty)
-    alphas, bps = _sweep(lat, cost.astype(np.float64), "min", lm_scale)
-    final = alphas[-1].copy()
-    if lat.use_final:
-        fs = np.where(g.final_score > NEG_INF / 2,
-                      -g.final_score * lm_scale, np.inf)
-        final = final + fs
-    if not np.isfinite(final).any():
-        return {"words": [], "tids": [], "score": -np.inf, "arcs": []}
-    end = int(np.argmin(final))
-    total = float(final[end])
-    arcs = []
-    s_cur = end
-    for t in range(lat.nf - 1, -1, -1):
-        m = int(bps[t][s_cur])
-        arcs.append(m)
-        s_cur = int(lat.arc_src[m])
-    arcs.reverse()
-    words = list(g.oseqs[g.start_oseq[s_cur]])
-    for m in arcs:
-        words.extend(lat.arc_words(m))
-    if lat.use_final:
-        words.extend(g.oseqs[g.final_oseq[end]])
-    return {"words": words,
-            "tids": [int(t) for t in lat.arc_tid[arcs]],
-            "score": -total, "arcs": arcs}
+    return lattice_best_path_grid(
+        lat, [(lm_scale, acoustic_scale, word_penalty)])[0]
 
 
 def lattice_to_post(lat: Lattice, acoustic_scale: float = 1.0,
@@ -221,34 +308,35 @@ def lattice_to_post(lat: Lattice, acoustic_scale: float = 1.0,
     (tid, pdf, post) with posts > min_post normalized per frame).
     """
     g = lat.graph
-    s = g.num_states
+    states, src_c, dst_c = lat._compact()
+    k = len(states)
     cost = lat.arc_total_cost(lm_scale, acoustic_scale).astype(np.float64)
     alphas, _ = _sweep(lat, cost, "log", lm_scale)
 
-    # backward (log semiring); final costs are graph costs -> lm_scale
+    # backward (log semiring, compact states); final costs are graph costs
     inf = np.inf
     if lat.use_final:
-        beta = np.where(g.final_score > NEG_INF / 2,
-                        -g.final_score.astype(np.float64) * lm_scale, inf)
+        fs = g.final_score[states]
+        beta = np.where(fs > NEG_INF / 2,
+                        -fs.astype(np.float64) * lm_scale, inf)
     else:
-        beta = np.zeros(s, np.float64)
+        beta = np.zeros(k, np.float64)
     bounds = lat._frame_slices()
-    src_all, dst_all = lat.arc_src, lat.arc_dst
     arc_post = np.zeros(lat.num_arcs, np.float64)
     # total log prob (cost domain): combine at the end states
-    tot = _log_add_vec(alphas[-1] + beta)
+    tot = _log_add_vec(alphas[-1][0] + beta)
     betas_next = beta
     for t in range(lat.nf - 1, -1, -1):
         lo, hi = bounds[t], bounds[t + 1]
-        sa, da, ca = src_all[lo:hi], dst_all[lo:hi], cost[lo:hi]
-        through = alphas[t][sa] + ca + betas_next[da]
+        sa, da, ca = src_c[lo:hi], dst_c[lo:hi], cost[lo:hi]
+        through = alphas[t][0][sa] + ca + betas_next[da]
         arc_post[lo:hi] = np.exp(-(through - tot))
         # beta at t
-        new = np.full(s, inf)
+        new = np.full(k, inf)
         cand = ca + betas_next[da]
         np.minimum.at(new, sa, cand)
         m = new[sa]
-        acc = np.zeros(s)
+        acc = np.zeros(k)
         np.add.at(acc, sa, np.exp(-(cand - m)))
         betas_next = np.where(np.isfinite(new),
                               new - np.log(np.maximum(acc, 1e-300)), inf)

@@ -213,6 +213,32 @@ def _bp_dtype(plan_packed: bool):
     return jnp.uint8 if plan_packed else jnp.int16
 
 
+def value_tree(v, upper, b):
+    """Row values [R, B] -> state values [S+1, B] via the upper max-reduction
+    levels (values only, no winner codes)."""
+    for idx in upper:
+        l, k = idx.shape
+        safe = jnp.maximum(idx, 0).reshape(-1)
+        valid = (idx >= 0)[:, :, None]
+        cand = jnp.where(valid, jnp.take(v, safe, axis=0).reshape(l, k, b),
+                         NEG_INF)
+        v = jnp.max(cand, axis=1)
+    return v
+
+
+def emit_value_step(alpha, ll_t, dev: EmitPlanDev, acwt):
+    """Value-only frame relaxation (no backpointer codes): alpha [S+1, B],
+    ll_t [P, B] -> new alpha [S+1, B].  Used by the lattice forward-backward
+    where winners are not needed (masks come from the gamma threshold)."""
+    r, d_w = dev.row_w.shape
+    b = alpha.shape[1]
+    am = jnp.take(ll_t, dev.row_pdf, axis=0) * acwt  # [R, B]
+    g = jnp.take(alpha, dev.row_src, axis=0).reshape(r, d_w, b) \
+        + dev.row_w[:, :, None]
+    v = jnp.max(g, axis=1) + am  # [R, B]
+    return value_tree(v, dev.upper, b)
+
+
 def _emit_step(alpha, ll_t, dev: EmitPlanDev, acwt, packed: bool, beam=None):
     """One frame of relaxation.  alpha [S+1, B], ll_t [P, B].
 

@@ -178,3 +178,178 @@ def lattice_forward_backward(graph: DenseGraph, levels: tuple, rev_levels: tuple
     a = graph.num_arcs
     mask = np.unpackbits(packed, axis=-1, count=a).astype(bool)[:t_total]
     return mask, np.asarray(total_best), np.asarray(at_end), np.asarray(use_final)
+
+
+# ---------------------------------------------------------------------------
+# Batch-minor in-degree-row lattice forward-backward (production path)
+# ---------------------------------------------------------------------------
+# The windowed FB above uses the round-1 lane-major [B, A] gathers, which are
+# ~100x slower than batch-minor row gathers on TPU (ops/decode_core.py module
+# docstring; tools/exp_decode_variants.py).  This section re-expresses the FB
+# on the decode core's EmitPlan rows:
+#   * forward  = emit_value_step over the FORWARD plan (rows by (dst, pdf));
+#   * backward = emit_value_step over the plan of the TRANSPOSED graph
+#     (rows by (src, pdf)) — the same kernel relaxes beta;
+#   * survivor masks are computed on the forward plan's rows, where the
+#     row's destination state and pdf are constants, and emitted as packed
+#     row-major bits ([T, B, ceil(R*D/8)] uint8) — ONE device->host fetch.
+
+from .decode_core import (EmitPlan, EmitPlanDev, build_emit_plan,
+                          emit_value_step, plan_to_device, value_tree)
+
+
+def build_lattice_plans(graph: DenseGraph, d: int | None = None,
+                        fwd_plan: EmitPlan | None = None):
+    """(fwd_plan, fwd_dev, bwd_dev, row_dst [R]) for the row-based FB.
+    Pass an existing forward ``EmitPlan`` (the decoder's) to reuse it."""
+    if fwd_plan is None:
+        fwd_plan = build_emit_plan(graph, d=d)
+    gt = DenseGraph(
+        num_states=graph.num_states, arc_src=graph.arc_dst,
+        arc_dst=graph.arc_src, arc_tid=graph.arc_tid, arc_pdf=graph.arc_pdf,
+        arc_score=graph.arc_score, arc_oseq=graph.arc_oseq,
+        alpha0=graph.alpha0, start_oseq=graph.start_oseq,
+        final_score=graph.final_score, final_oseq=graph.final_oseq,
+        oseqs=graph.oseqs)
+    bwd_plan = build_emit_plan(gt, d=d)
+    row_dst = np.repeat(np.arange(len(fwd_plan.row_start) - 1, dtype=np.int32),
+                        np.diff(fwd_plan.row_start))
+    return fwd_plan, plan_to_device(fwd_plan), plan_to_device(bwd_plan), row_dst
+
+
+@jax.jit
+def _fb_win_forward(fwd_dev: EmitPlanDev, alpha, at_end, ll_win, t0,
+                    num_frames, acwt):
+    """One forward window (medium program — the remote worker wedges on
+    monolithic nested whole-utterance scans; see the verify-skill notes).
+    ll_win [W, P, B]; returns (alpha, at_end) after the window."""
+
+    def frame(c, ll_t):
+        a, e, t = c
+        na = emit_value_step(a, ll_t, fwd_dev, acwt)
+        a = jnp.where((t < num_frames)[None, :], na, a)
+        e = jnp.where((t + 1 == num_frames)[None, :], a, e)
+        return (a, e, t + 1), None
+
+    (a, e, _), _ = jax.lax.scan(frame, (alpha, at_end, t0), ll_win)
+    return a, e
+
+
+@jax.jit
+def _fb_win_backward(fwd_dev: EmitPlanDev, bwd_dev: EmitPlanDev, row_dst,
+                     snap, beta, ll_win, t0, num_frames, final_eff, thresh,
+                     acwt):
+    """One reverse window: pass 1 relaxes beta (descending), storing the
+    per-frame ``beta_eff`` at t+1; pass 2 recomputes alphas ascending from
+    the ``snap`` (alpha at t0) with the survivor test FUSED into the same
+    row gather — gamma[r, d] = g[r, d] + am[r] + beta_next[dst(r)] reuses the
+    alpha gather the relaxation already does (one fewer full-gather pass
+    than the naive alpha-slab formulation).
+
+    Returns (beta at t0, bits [W, ceil(R*D/8), B] in forward frame order)."""
+    w = ll_win.shape[0]
+    b = snap.shape[1]
+    r, d_w = fwd_dev.row_w.shape
+    ts = t0 + jnp.arange(w, dtype=jnp.int32)
+
+    def bwd_frame(bt, inp):
+        ll_t, t = inp
+        beta_eff = jnp.where((t + 1 == num_frames)[None, :], final_eff, bt)
+        nb = emit_value_step(beta_eff, ll_t, bwd_dev, acwt)
+        nb = jnp.where((t < num_frames)[None, :], nb, bt)
+        return nb, beta_eff  # beta above frame t (used by gamma at t)
+
+    beta, beta_slab_rev = jax.lax.scan(
+        bwd_frame, beta, (ll_win[::-1], ts[::-1]))
+    beta_slab = beta_slab_rev[::-1]  # [W, S+1, B]
+
+    def fwd_frame(a, inp):
+        ll_t, beta_next, t = inp
+        am = jnp.take(ll_t, fwd_dev.row_pdf, axis=0) * acwt  # [R, B]
+        g = jnp.take(a, fwd_dev.row_src, axis=0).reshape(r, d_w, b) \
+            + fwd_dev.row_w[:, :, None]
+        na = value_tree(jnp.max(g, axis=1) + am, fwd_dev.upper, b)
+        na = jnp.where((t < num_frames)[None, :], na, a)
+        tail = am + jnp.take(beta_next, row_dst, axis=0)  # [R, B]
+        keep = (g + tail[:, None, :] >= thresh[None, None, :]) & \
+            (t < num_frames)[None, None, :]
+        # pack along the position axis ([R*D, B] -> [nbytes, B]): no
+        # lane-major transpose of a 400k-wide array per frame
+        bits = jnp.packbits(keep.reshape(r * d_w, b), axis=0)
+        return na, bits
+
+    _, bits = jax.lax.scan(fwd_frame, snap, (ll_win, beta_slab, ts))
+    return beta, bits
+
+
+def lattice_forward_backward_rows(graph: DenseGraph, fwd_plan: EmitPlan,
+                                  fwd_dev: EmitPlanDev, bwd_dev: EmitPlanDev,
+                                  row_dst: np.ndarray, loglikes, num_frames,
+                                  acoustic_scale: float, lattice_beam: float,
+                                  window: int = 64):
+    """Row-based windowed lattice FB (exact forward — no beam pruning: the
+    dense relaxation does the same work either way, so pruning could only
+    lose paths).  loglikes [B, T, P] device array.  Windows dispatch one
+    medium program each from Python — the remote worker wedges on monolithic
+    nested scans (verify-skill notes; round-1 found the same).
+
+    Returns (packed row-major masks [T, nbytes, B] np.uint8, total_best [B],
+    alpha_at_end [S+1, B] np, use_final [B])."""
+    b, t_total, _p = loglikes.shape
+    nw = max(1, -(-t_total // window))
+    t_pad = nw * window
+    if t_pad != t_total:
+        loglikes = jnp.concatenate(
+            [loglikes, jnp.zeros((b, t_pad - t_total, loglikes.shape[2]),
+                                 loglikes.dtype)], axis=1)
+    ll = jnp.transpose(loglikes, (1, 2, 0))  # [T, P, B]
+    nf = jnp.asarray(num_frames)
+    acwt = jnp.float32(acoustic_scale)
+    s1 = fwd_plan.num_states + 1
+    alpha0_col = jnp.concatenate(
+        [jnp.asarray(graph.alpha0), jnp.full((1,), NEG_INF, jnp.float32)])
+    final_col = jnp.concatenate(
+        [jnp.asarray(graph.final_score), jnp.full((1,), NEG_INF, jnp.float32)])
+
+    # phase 1: per-window forward, keeping one alpha snapshot per window
+    alpha = jnp.broadcast_to(alpha0_col[:, None], (s1, b))
+    at_end = jnp.where((nf == 0)[None, :], alpha,
+                       jnp.full((s1, b), NEG_INF))
+    snaps = []
+    for w in range(nw):
+        snaps.append(alpha)
+        alpha, at_end = _fb_win_forward(
+            fwd_dev, alpha, at_end, ll[w * window:(w + 1) * window],
+            jnp.int32(w * window), nf, acwt)
+
+    with_final = jnp.max(at_end + final_col[:, None], axis=0)
+    no_final = jnp.max(at_end, axis=0)
+    use_final = with_final > NEG_INF / 2
+    total_best = jnp.where(use_final, with_final, no_final)
+    # partial-path fallback: when no final state is reachable, treat every
+    # state as final with cost 0 (Kaldi's DecodeUtteranceLatticeFaster)
+    final_eff = jnp.where(use_final[None, :], final_col[:, None],
+                          jnp.zeros((s1, b)))
+    thresh = total_best - jnp.float32(lattice_beam)
+
+    # phase 2: reverse windows.  Masks are fetched with a one-window lag so
+    # the transfer of window w+1 overlaps the compute of window w, and each
+    # consumed snapshot is dropped so device residency stays bounded.
+    row_dst_j = jnp.asarray(row_dst)
+    beta = jnp.full((s1, b), NEG_INF)
+    mask_np = []
+    prev_bits = None
+    for w in range(nw - 1, -1, -1):
+        beta, bits = _fb_win_backward(
+            fwd_dev, bwd_dev, row_dst_j, snaps[w], beta,
+            ll[w * window:(w + 1) * window], jnp.int32(w * window), nf,
+            final_eff, thresh, acwt)
+        snaps[w] = None  # free the snapshot buffer
+        bits.copy_to_host_async()
+        if prev_bits is not None:
+            mask_np.append(np.asarray(prev_bits))
+        prev_bits = bits
+    mask_np.append(np.asarray(prev_bits))
+    masks = np.concatenate(mask_np[::-1], axis=0)
+    return (masks[:t_total], np.asarray(total_best),
+            np.asarray(at_end), np.asarray(use_final))

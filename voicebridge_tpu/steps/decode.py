@@ -105,17 +105,21 @@ class Decoder:
 
     def _batch_chunk(self, t_pad: int, extra_per_utt_bytes: float = 0.0,
                      device_budget: float = 768e6,
-                     fetch_budget: float = 48e6) -> int:
+                     fetch_budget: float = 48e6,
+                     extra_dev_per_utt_bytes: float = 0.0) -> int:
         """Utterances per decode dispatch so device residents (loglikes +
         per-frame state tables) stay under ``device_budget`` and any
         host-fetched per-utterance artifact (``extra_per_utt_bytes``, e.g.
         lattice survivor masks) stays under ``fetch_budget`` — the remote
         worker crashes on multi-GB allocations and >~200 MB transfers."""
         p = self.params.gconsts.shape[0]
-        dev_per_utt = 4.0 * t_pad * (p + self.plan.num_states + 1)
+        # loglikes are the only [B, T, *]-resident common to both paths; the
+        # best-path backpointer block is frame-chunked separately
+        # (_bp_chunk), so it does not scale with B here
+        dev_per_utt = 4.0 * t_pad * p + extra_dev_per_utt_bytes
         n = min(device_budget / dev_per_utt,
                 fetch_budget / max(extra_per_utt_bytes, 1.0))
-        return int(max(4, min(512, n)))
+        return int(max(2, min(256, n)))
 
     def decode_batch(self, utts: list[str], feats: np.ndarray,
                      num_frames: np.ndarray,
@@ -157,41 +161,58 @@ class Decoder:
                        num_frames: np.ndarray,
                        acoustic_scale: float | None = None) -> dict:
         """Lattice-generating decode (``gmm-latgen-faster``'s lattice output):
-        one device forward-backward pass; arcs whose best complete path is
+        batch-minor row-based forward-backward (ops/lattice.py
+        ``lattice_forward_backward_rows``); arcs whose best complete path is
         within ``lattice_beam`` of the global best survive.  Returns
         {utt: Lattice} with graph/acoustic costs stored separately."""
-        from ..lat import build_lattices
+        from ..lat import build_lattices_packed
         from ..ops import lattice as LAT
 
         acwt = self.opts.acoustic_scale if acoustic_scale is None else acoustic_scale
         g = self.graph
-        if not hasattr(self, "_rev_levels"):
-            self._rev_levels = LAT.build_src_plan(g, k=8)
+        # W + T/W terms (beta slab + per-window alpha snapshots) dominate
+        # device residency; W ~ sqrt(T) balances them.  Small fixed set so
+        # the jit cache stays warm.
+        window = 16
+        if not hasattr(self, "_lat_plans"):
+            plan, fwd_dev, bwd_dev, row_dst = LAT.build_lattice_plans(
+                g, fwd_plan=self.plan)
+            self._lat_plans = (fwd_dev, bwd_dev, row_dst)
+        fwd_dev, bwd_dev, row_dst = self._lat_plans
         feats = np.asarray(feats)
         num_frames = np.asarray(num_frames)
-        t_pad = max(64, -(-feats.shape[1] // 64) * 64)
-        # the survivor masks ([T, B, A/8] packed) and per-chunk loglikes are
-        # fetched to the host — bound both per sub-batch
-        mask_per_utt = t_pad * g.num_arcs / 8.0
-        ll_per_utt = t_pad * self.params.gconsts.shape[0] * 4.0
-        b_chunk = self._batch_chunk(
-            t_pad, extra_per_utt_bytes=max(mask_per_utt, ll_per_utt))
+        t_pad = max(window, -(-feats.shape[1] // window) * window)
+        s1 = self.plan.num_states + 1
+        nbytes = -(-self.plan.num_rows * self.plan.d // 8)
+        # device residency per utterance: beta slab + snapshots + loglikes +
+        # two windows of packed masks in flight
+        dev_per_utt = (4.0 * s1 * (window + t_pad // window)
+                       + 4.0 * t_pad * self.params.gconsts.shape[0]
+                       + 2.0 * window * nbytes)
+        b_chunk = int(max(2, min(64, 640e6 / dev_per_utt)))
         out: dict = {}
-        for lo in range(0, len(utts), b_chunk):
+        n_chunks = -(-len(utts) // b_chunk)
+        for ci, lo in enumerate(range(0, len(utts), b_chunk)):
             hi = min(len(utts), lo + b_chunk)
+            real = hi - lo
             f, nf = feats[lo:hi], num_frames[lo:hi]
+            if real < b_chunk:  # pad the tail chunk: one jitted shape only
+                f = np.concatenate(
+                    [f, np.zeros((b_chunk - real,) + f.shape[1:], f.dtype)])
+                nf = np.concatenate(
+                    [nf, np.zeros(b_chunk - real, nf.dtype)])
             ll = self._loglikes(jnp.asarray(f))
-            mask, _best, _aend, use_final = LAT.lattice_forward_backward(
-                g, self.levels, self._rev_levels, ll, nf,
-                acoustic_scale=acwt, beam=self.opts.beam,
-                lattice_beam=self.opts.lattice_beam,
-                max_active=self.opts.max_active,
-                # fixed window: a max(nf)-derived window recompiles the jitted
-                # window program per distinct batch length (VERDICT r1 #8);
-                # lattice_forward_backward pads T internally
-                window=64)
-            lats = build_lattices(g, mask, np.asarray(ll), nf, use_final)
-            out.update(zip(utts[lo:hi], lats))
+            packed, _best, _aend, use_final = \
+                LAT.lattice_forward_backward_rows(
+                    g, self.plan, fwd_dev, bwd_dev, row_dst, ll, nf,
+                    acoustic_scale=acwt,
+                    lattice_beam=self.opts.lattice_beam, window=window)
+            lats = build_lattices_packed(g, self.plan.row_arc, packed,
+                                         np.asarray(ll), nf, use_final)
+            out.update(zip(utts[lo:hi], lats[:real]))
+            if ci == 0 or (ci + 1) % 8 == 0 or ci + 1 == n_chunks:
+                log.info("decode_lattice: chunk %d/%d (%d utts) done",
+                         ci + 1, n_chunks, hi)
         return out
 
     def decode_sweep_lattice(self, utts: list[str], feats: np.ndarray,
@@ -205,20 +226,16 @@ class Decoder:
         ``lattice-best-path``) — no re-decode.
 
         Returns ({(lmwt, wip): [DecodeResult]}, {utt: Lattice})."""
-        from ..lat import lattice_best_path
+        from ..lat import lattice_best_path_grid
 
         lats = self.decode_lattice(utts, feats, num_frames)
-        sweep = {}
-        for w in lmwts:
-            for wip in word_ins_penalties:
-                res = []
-                for u in utts:
-                    p = lattice_best_path(lats[u], lm_scale=1.0,
-                                          acoustic_scale=1.0 / w,
-                                          word_penalty=wip)
-                    res.append(DecodeResult(u, p["words"], p["score"],
-                                            p["tids"]))
-                sweep[(w, wip)] = res
+        grid = [(w, wip) for w in lmwts for wip in word_ins_penalties]
+        points = [(1.0, 1.0 / w, wip) for (w, wip) in grid]
+        sweep = {gp: [] for gp in grid}
+        for u in utts:  # the whole grid sweeps in one vectorized pass per utt
+            for gp, p in zip(grid, lattice_best_path_grid(lats[u], points)):
+                sweep[gp].append(DecodeResult(u, p["words"], p["score"],
+                                              p["tids"]))
         return sweep, lats
 
     def decode_nbest(self, utts: list[str], feats: np.ndarray,
