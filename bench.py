@@ -108,18 +108,21 @@ def synth_train_graph(num_states: int, num_pdfs: int, rng) -> "object":
     right chain of 3-state HMMs with self-loops and skip arcs."""
     from voicebridge_tpu.ops.viterbi import NEG_INF, DenseGraph
 
-    src, dst, pdf, score = [], [], [], []
+    # dst-pure pdfs (all arcs entering a state share its pdf) — the property
+    # real compiled training graphs have after reordered self-loop insertion
+    # (fst/hmm_graph.py add_self_loops), which the banded alignment kernel
+    # (ops/align_band.py) exploits
+    pdf_of = rng.integers(0, num_pdfs, size=num_states)
+    src, dst, score = [], [], []
     for s in range(num_states):
-        p = int(rng.integers(0, num_pdfs))
         src += [s, s]
         dst += [s, min(s + 1, num_states - 1)]
-        pdf += [p, int(rng.integers(0, num_pdfs))]
         score += [float(-rng.exponential(0.3)), float(-rng.exponential(0.3))]
         if s + 2 < num_states and rng.random() < 0.25:  # optional-sil skip
             src.append(s)
             dst.append(s + 2)
-            pdf.append(int(rng.integers(0, num_pdfs)))
             score.append(float(-rng.exponential(0.5)))
+    pdf = [int(pdf_of[d]) for d in dst]
     alpha0 = np.full(num_states, NEG_INF, np.float32)
     alpha0[0] = 0.0
     final = np.full(num_states, NEG_INF, np.float32)
@@ -200,12 +203,15 @@ CONFIGS = [
     (6_000, 8, 100, 600),
 ]
 
-# train bench: (batch, frames, graph_states, timeout_s).  bp tensor is
-# [T, B, S] int32 ~= 59 MB at the flagship size (worker-safe, see verify
-# skill notes on transfer limits).
+# train bench: (batch, frames, graph_states, timeout_s).  The banded
+# alignment kernel (ops/align_band.py) stores ONE uint8 band slot per state
+# per frame: bp ~= 30 MB at the flagship size.  b=384 exhausts the worker
+# (loglikes + one-hot operands cross ~1.2 GB each); b=192 is the measured
+# sweet spot (tools/exp_train_batch.py: 1710 audio-s/s vs 1185 at b=96).
 TRAIN_CONFIGS = [
-    (96, 400, 384, 1500),
-    (32, 200, 256, 900),
+    (192, 400, 384, 1200),
+    (96, 400, 384, 900),
+    (32, 200, 256, 600),
 ]
 
 

@@ -14,10 +14,40 @@ import numpy as np
 
 from ..fst.core import Fst
 from ..models.transition import TransitionModel
+from ..ops import align_band as AB
 from ..ops import viterbi as V
 from ..utils.logging import get_logger
 
 log = get_logger()
+
+_UNSET = object()
+
+
+def align_banded(plan: AB.BandPlan, graphs: list, loglikes, num_frames,
+                 acoustic_scale: float):
+    """Run the gather-free banded alignment kernel (ops/align_band.py) for
+    ``graphs`` under ``plan`` and assemble per-utterance results.  loglikes
+    [B, T, P] (device or host); T is padded to a multiple of 128 here."""
+    num_frames = np.asarray(num_frames)
+    t = loglikes.shape[1]
+    t_pad = max(128, -(-t // 128) * 128)
+    if t_pad != t:
+        loglikes = jnp.pad(jnp.asarray(loglikes),
+                           ((0, 0), (0, t_pad - t), (0, 0)))
+    nf = jnp.asarray(num_frames)
+    alpha_end, bps = AB.viterbi_forward_banded(
+        jnp.asarray(plan.W), jnp.asarray(plan.pdf), jnp.asarray(plan.alpha0),
+        jnp.asarray(loglikes), nf, np.float32(acoustic_scale), plan.offsets)
+    states, ks, ok, end_state, score = AB.backtrace_banded_device(
+        alpha_end, jnp.asarray(plan.final), bps, nf,
+        jnp.asarray(plan.offsets, jnp.int32))
+    arcs, ok = AB.arcs_from_band_trace(
+        plan, np.asarray(states), np.asarray(ks), np.asarray(ok))
+    end_b = np.asarray(end_state)
+    end_orig = plan.n2o[np.arange(len(graphs)), end_b]
+    return V.assemble_batched_results(
+        graphs, arcs, ok, np.maximum(end_orig, 0), np.asarray(score),
+        num_frames)
 
 
 class AlignmentSet:
@@ -41,6 +71,19 @@ class AlignmentSet:
         self._padded = None
         self._plans = None
         self._plan_spec = None
+        self._band = _UNSET
+
+    @property
+    def band(self) -> AB.BandPlan | None:
+        """Banded plan (ops/align_band.py), or None when the graph set
+        doesn't fit the banded form (wide band / non-dst-pure pdfs)."""
+        if self._band is _UNSET:
+            self._band = (AB.build_band_plan(self.graphs)
+                          if self.graphs else None)
+            if self._band is None and self.graphs:
+                log.info("alignment: graphs not banded-friendly, using the "
+                         "generic gather kernel")
+        return self._band
 
     @property
     def padded(self) -> dict:
@@ -67,6 +110,10 @@ class AlignmentSet:
               beam: float = 1e9):
         """loglikes [B, T, P] (already on device / materializable); returns
         list of alignment dicts (tids etc.).  Backtrace runs on device."""
+        if beam >= 1e8 and self.band is not None:
+            # exact alignment over banded training graphs: gather-free kernel
+            return align_banded(self.band, self.graphs, loglikes,
+                                num_frames, acoustic_scale)
         p = self.padded
         alpha_end, bps = V.viterbi_forward_batched(
             p["arc_src"], p["levels"], p["arc_pdf"], p["arc_score"],
@@ -102,7 +149,10 @@ class AlignmentSet:
         a_max = max(g.num_arcs for g in self.graphs)
         s_pad = s_max + 1
         num_pdfs = int(params.gconsts.shape[0])
-        plans, (depth, rows) = self._graph_plans(s_pad)
+        band = self.band if beam >= 1e8 else None
+        plans, depth, rows = None, None, None
+        if band is None:
+            plans, (depth, rows) = self._graph_plans(s_pad)
 
         # fixed chunk batch size from the worst-case (longest) bucket
         t_bucket_max = max(128, -(-int(num_frames.max()) // 128) * 128)
@@ -122,27 +172,36 @@ class AlignmentSet:
             nf_c[real:] = 0
             t_c = max(128, -(-int(nf_c.max()) // 128) * 128)
             graphs_c = [self.graphs[i] for i in idx]
-            padded = V.pad_graphs(
-                graphs_c, pad_states=s_max, pad_arcs=a_max,
-                plans=[plans[i] for i in idx], plan_depth=depth,
-                plan_rows=rows)
             feats_c = np.zeros((b_chunk, t_c, feats.shape[2]), np.float32)
             for j, i in enumerate(idx[:real]):
                 n = int(num_frames[i])
                 feats_c[j, :n] = feats[i, :n]
             ll = K.loglikes_batch(params, jnp.asarray(feats_c))
-            nf_j = jnp.asarray(nf_c)
-            alpha_end, bps = V.viterbi_forward_batched(
-                padded["arc_src"], padded["levels"], padded["arc_pdf"],
-                padded["arc_score"], padded["alpha0"], ll, nf_j,
-                np.float32(acoustic_scale), np.float32(beam),
-                padded["num_states"])
-            arcs, ok, end_state, score = V.backtrace_batched_device(
-                jnp.asarray(padded["arc_src"]), alpha_end,
-                jnp.asarray(padded["final_score"]), bps, nf_j)
-            chunk_res = V.assemble_batched_results(
-                graphs_c[:real], np.asarray(arcs), np.asarray(ok),
-                np.asarray(end_state), np.asarray(score), nf_c)
+            if band is not None and beam >= 1e8:
+                chunk_res = align_banded(
+                    AB.BandPlan(W=band.W[idx], pdf=band.pdf[idx],
+                                arc_of=band.arc_of[idx],
+                                offsets=band.offsets,
+                                alpha0=band.alpha0[idx],
+                                final=band.final[idx], n2o=band.n2o[idx]),
+                    graphs_c, ll, nf_c, acoustic_scale)[:real]
+            else:
+                padded = V.pad_graphs(
+                    graphs_c, pad_states=s_max, pad_arcs=a_max,
+                    plans=[plans[i] for i in idx], plan_depth=depth,
+                    plan_rows=rows)
+                nf_j = jnp.asarray(nf_c)
+                alpha_end, bps = V.viterbi_forward_batched(
+                    padded["arc_src"], padded["levels"], padded["arc_pdf"],
+                    padded["arc_score"], padded["alpha0"], ll, nf_j,
+                    np.float32(acoustic_scale), np.float32(beam),
+                    padded["num_states"])
+                arcs, ok, end_state, score = V.backtrace_batched_device(
+                    jnp.asarray(padded["arc_src"]), alpha_end,
+                    jnp.asarray(padded["final_score"]), bps, nf_j)
+                chunk_res = V.assemble_batched_results(
+                    graphs_c[:real], np.asarray(arcs), np.asarray(ok),
+                    np.asarray(end_state), np.asarray(score), nf_c)
             for j, i in enumerate(idx[:real]):
                 results[int(i)] = chunk_res[j]
         return results
