@@ -46,8 +46,9 @@ def setup():
         fr = equal_align(g, t, seed=i)
         tids[i] = g.arc_tid[fr]
     pdf_ids = tm.tid2pdf[tids].astype(np.int32)
-    return dict(am=am, tm=tm, tree=tree, padded=padded, feats=feats, nf=nf,
-                tids=tids, pdf_ids=pdf_ids, weights=weights)
+    return dict(am=am, tm=tm, tree=tree, padded=padded, graphs=graphs,
+                feats=feats, nf=nf, tids=tids, pdf_ids=pdf_ids,
+                weights=weights)
 
 
 def run_estep(setup, n_dev):
@@ -82,6 +83,45 @@ class TestMeshConsistency:
             np.testing.assert_allclose(tstats, ref[2], rtol=1e-5, atol=1e-4)
             assert abs(ll - ref[3]) < 1e-2 * max(abs(ref[3]), 1)
             np.testing.assert_allclose(alpha, ref[4], rtol=1e-4, atol=1e-3)
+
+    def test_banded_estep_matches_generic_across_meshes(self, setup):
+        """The banded sharded E-step (production alignment kernel) must
+        produce the same psum-reduced stats as the generic one, on every
+        mesh shape, and its alpha_end must be the generic alpha_end under
+        the band plan's state permutation."""
+        from voicebridge_tpu.ops import align_band as AB
+
+        band = AB.build_band_plan(setup["graphs"])
+        assert band is not None
+        ref = run_estep(setup, 1)
+
+        for n in (1, 2, 4):
+            mesh = M.make_mesh(num_data=n)
+            params = M.replicate(mesh, K.pack_gmm(setup["am"]))
+            bb = M.shard_batch(mesh, dict(W=band.W, pdf=band.pdf,
+                                          alpha0=band.alpha0))
+            data = M.shard_batch(mesh, dict(
+                feats=setup["feats"], nf=setup["nf"], tids=setup["tids"],
+                pdf_ids=setup["pdf_ids"], weights=setup["weights"]))
+            step = M.em_estep_sharded_banded(
+                mesh, setup["tree"].num_pdfs,
+                setup["tm"].num_transition_ids, band.offsets)
+            alpha_end, bps, occ, macc, vacc, tstats, ll = step(
+                params, bb["W"], bb["pdf"], bb["alpha0"], data["feats"],
+                data["nf"], data["tids"], data["pdf_ids"], data["weights"],
+                jnp.float32(0.1))
+            np.testing.assert_allclose(np.asarray(occ), ref[0],
+                                       rtol=1e-5, atol=1e-4)
+            np.testing.assert_allclose(np.asarray(tstats), ref[2],
+                                       rtol=1e-5, atol=1e-4)
+            assert abs(float(ll) - ref[3]) < 1e-2 * max(abs(ref[3]), 1)
+            # alpha_end parity under the per-graph state permutation
+            a = np.asarray(alpha_end)
+            for i, g in enumerate(setup["graphs"]):
+                n2o = band.n2o[i, : g.num_states]
+                np.testing.assert_allclose(
+                    a[i, : g.num_states], ref[4][i, n2o],
+                    rtol=1e-4, atol=1e-3)
 
     def test_alignment_forward_matches_unsharded(self, setup):
         p = setup["padded"]

@@ -103,24 +103,25 @@ def child(n: int) -> None:
     dec_wall = (time.perf_counter() - t0) / it
     dec_thru = b * t * 0.01 / dec_wall
 
-    # ---- train EM step: psum-reduced stats over the data axis ----
+    # ---- train EM step: psum-reduced stats over the data axis (banded
+    # production kernel, ops/align_band.py) ----
+    from voicebridge_tpu.ops import align_band as AB
+
     s_graph = 64
     graphs = [BE.synth_train_graph(s_graph, num_pdfs, rng) for _ in range(b)]
-    padded = V.pad_graphs(graphs)
-    gb = M.shard_batch(mesh, dict(
-        arc_src=padded["arc_src"], levels=padded["levels"],
-        arc_pdf=padded["arc_pdf"], arc_score=padded["arc_score"],
-        alpha0=padded["alpha0"]))
+    band = AB.build_band_plan(graphs)
+    assert band is not None, "synthetic training graphs should be banded"
+    bb = M.shard_batch(mesh, dict(W=band.W, pdf=band.pdf,
+                                  alpha0=band.alpha0))
     tids = np.zeros((b, t), np.int32)
     data = M.shard_batch(mesh, dict(
         feats=np.asarray(feats), num_frames=np.asarray(nf), tids=tids,
         pdf_ids=rng.integers(0, num_pdfs, (b, t)).astype(np.int32),
         weights=np.ones((b, t), np.float32)))
-    step = M.em_estep_sharded(mesh, padded["num_states"], num_pdfs, 1)
+    step = M.em_estep_sharded_banded(mesh, num_pdfs, 1, band.offsets)
 
     def train_once():
-        out = step(params, gb["arc_src"], gb["levels"], gb["arc_pdf"],
-                   gb["arc_score"], gb["alpha0"], data["feats"],
+        out = step(params, bb["W"], bb["pdf"], bb["alpha0"], data["feats"],
                    data["num_frames"], data["tids"], data["pdf_ids"],
                    data["weights"], jnp.float32(0.1))
         jax.block_until_ready(out)

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..ops import align_band as AB
 from ..ops import gmm_kernels as K
 from ..ops import viterbi as V
 
@@ -71,7 +72,8 @@ def em_estep_sharded(mesh: Mesh, num_states: int, num_pdfs: int, num_tids: int):
                   data_spec, data_spec,  # feats, num_frames
                   data_spec, data_spec, data_spec,  # tids, pdf_ids, weights
                   rep),  # acoustic scale
-        out_specs=(data_spec, data_spec, rep, rep, rep, rep, rep),
+        # bps is [T, B, S]: the batch axis is dim 1
+        out_specs=(data_spec, P(None, DATA_AXIS), rep, rep, rep, rep, rep),
         check_vma=False,
     )
     def step(params, arc_src, levels, arc_pdf, arc_score, alpha0,
@@ -82,6 +84,55 @@ def em_estep_sharded(mesh: Mesh, num_states: int, num_pdfs: int, num_tids: int):
             arc_src, levels, arc_pdf, arc_score, alpha0,
             ll, num_frames, acwt, jnp.float32(1e9), num_states)
         # stats from given alignments (previous realign), psum over mesh
+        x = feats.reshape(b * t, d)
+        pdf_ids = pdf_ids_in.reshape(-1)
+        w = weights.reshape(-1)
+        occ, macc, vacc, ll_tot = K.acc_gmm_stats_aligned(
+            params, x, pdf_ids, num_pdfs, w)
+        tstats = K.acc_transition_stats(tids.reshape(-1), num_tids, w)
+        occ = jax.lax.psum(occ, DATA_AXIS)
+        macc = jax.lax.psum(macc, DATA_AXIS)
+        vacc = jax.lax.psum(vacc, DATA_AXIS)
+        tstats = jax.lax.psum(tstats, DATA_AXIS)
+        ll_tot = jax.lax.psum(ll_tot, DATA_AXIS)
+        return alpha_end, bps, occ, macc, vacc, tstats, ll_tot
+
+    return jax.jit(step)
+
+
+def em_estep_sharded_banded(mesh: Mesh, num_pdfs: int, num_tids: int,
+                            offsets: tuple):
+    """Banded-kernel variant of :func:`em_estep_sharded` — the production
+    alignment path (ops/align_band.py: gather-free shifts + one-hot MXU
+    emissions) sharded over the data axis.  Inputs take the BandPlan arrays
+    (W [B,S,K], pdf [B,S], alpha0 [B,S]) in place of padded arc arrays;
+    ``offsets`` is the plan's static band-offset tuple.  T must be a
+    multiple of 128, or at most 128."""
+    from jax import shard_map
+
+    data_spec = P(DATA_AXIS)
+    rep = P()
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(rep,  # params
+                  data_spec, data_spec, data_spec,  # W, pdf, alpha0
+                  data_spec, data_spec,  # feats, num_frames
+                  data_spec, data_spec, data_spec,  # tids, pdf_ids, weights
+                  rep),  # acoustic scale
+        out_specs=(data_spec, P(None, DATA_AXIS), rep, rep, rep, rep, rep),
+        check_vma=False,
+    )
+    def step(params, w_band, pdf_band, alpha0, feats, num_frames, tids,
+             pdf_ids_in, weights, acwt):
+        b, t, d = feats.shape
+        assert t <= 128 or t % 128 == 0, \
+            "banded EM step: T must be <=128 or a multiple of 128"
+        ll = K.loglikes_batch(params, feats)
+        alpha_end, bps = AB.viterbi_forward_banded(
+            w_band, pdf_band, alpha0, ll, num_frames, acwt, offsets,
+            t_chunk=min(t, 128))
         x = feats.reshape(b * t, d)
         pdf_ids = pdf_ids_in.reshape(-1)
         w = weights.reshape(-1)
