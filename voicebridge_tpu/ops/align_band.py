@@ -43,7 +43,7 @@ import numpy as np
 from .viterbi import NEG_INF, DenseGraph
 
 __all__ = ["BandPlan", "build_band_plan", "viterbi_forward_banded",
-           "backtrace_banded_device", "arcs_from_band_trace"]
+           "backtrace_banded_device"]
 
 
 class BandPlan(NamedTuple):
@@ -209,11 +209,16 @@ def viterbi_forward_banded(W, pdf, alpha0, loglikes, num_frames,
 
 
 @jax.jit
-def backtrace_banded_device(alpha_end, final, bps, num_frames, offsets_arr):
-    """Device backtrace over band-slot winners.  Returns
-    (states [T,B] int32: the banded dst state consumed at frame t (-1 when
-    inactive), ks [T,B] int32 band slots (-1 inactive), ok [B] bool,
-    end_state [B] int32 banded, score [B] f32)."""
+def backtrace_banded_device(alpha_end, final, bps, num_frames, offsets_arr,
+                            arc_of):
+    """Device backtrace over band-slot winners, resolving original arc ids
+    on device (``arc_of [B,S,K]``) so ONE packed host fetch suffices — the
+    remote-TPU tunnel charges per transfer, not per byte, at these sizes.
+
+    Returns (packed [T+2, B] int32, score [B] f32): rows 0..T-1 are original
+    arc ids per frame (-1 inactive), row T the banded end state, row T+1 the
+    ok flag (a finite-score path can never cross an empty band slot; if it
+    ever did, arc id -1 at an active frame clears ok)."""
     b = alpha_end.shape[0]
     t_total = bps.shape[0]
     total = alpha_end + final
@@ -223,34 +228,18 @@ def backtrace_banded_device(alpha_end, final, bps, num_frames, offsets_arr):
     bidx = jnp.arange(b)
 
     def step(carry, bp_t):
-        st, t = carry
+        st, ok, t = carry
         active = t < num_frames
         k = bp_t[bidx, st].astype(jnp.int32)
+        a = arc_of[bidx, st, k]
+        ok = jnp.where(active, ok & (a >= 0), ok)
         prev = st - offsets_arr[k]
-        out_s = jnp.where(active, st, -1)
-        out_k = jnp.where(active, k, -1)
         st = jnp.where(active, prev, st)
-        return (st, t - 1), (out_s, out_k)
+        return (st, ok, t - 1), jnp.where(active, a, -1)
 
-    (_, _), (states_rev, ks_rev) = jax.lax.scan(
-        step, (end_state, jnp.int32(t_total - 1)), bps[::-1])
-    return states_rev[::-1], ks_rev[::-1], ok, end_state, score
-
-
-def arcs_from_band_trace(plan: BandPlan, states: np.ndarray, ks: np.ndarray,
-                         ok: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Host: map a banded device trace to original per-graph arc ids.
-    states/ks [T, B] -> (arcs [T, B] int32 original arc ids, ok [B])."""
-    t_total, b = states.shape
-    bb = np.broadcast_to(np.arange(b, dtype=np.int64)[None, :],
-                         (t_total, b))
-    valid = states >= 0
-    arcs = np.full((t_total, b), -1, np.int32)
-    arcs[valid] = plan.arc_of[bb[valid], states[valid], ks[valid]]
-    # a finite-score path can never cross an empty band slot, but guard
-    # against it ever happening (would silently corrupt alignments)
-    bad = valid & (arcs < 0)
-    ok = np.asarray(ok).copy()
-    if bad.any():
-        ok[bad.any(axis=0)] = False
-    return arcs, ok
+    (_, ok, _), arcs_rev = jax.lax.scan(
+        step, (end_state, ok, jnp.int32(t_total - 1)), bps[::-1])
+    packed = jnp.concatenate(
+        [arcs_rev[::-1], end_state[None, :], ok.astype(jnp.int32)[None, :]],
+        axis=0)
+    return packed, score

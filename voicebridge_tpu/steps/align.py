@@ -38,12 +38,11 @@ def align_banded(plan: AB.BandPlan, graphs: list, loglikes, num_frames,
     alpha_end, bps = AB.viterbi_forward_banded(
         jnp.asarray(plan.W), jnp.asarray(plan.pdf), jnp.asarray(plan.alpha0),
         jnp.asarray(loglikes), nf, np.float32(acoustic_scale), plan.offsets)
-    states, ks, ok, end_state, score = AB.backtrace_banded_device(
+    packed, score = AB.backtrace_banded_device(
         alpha_end, jnp.asarray(plan.final), bps, nf,
-        jnp.asarray(plan.offsets, jnp.int32))
-    arcs, ok = AB.arcs_from_band_trace(
-        plan, np.asarray(states), np.asarray(ks), np.asarray(ok))
-    end_b = np.asarray(end_state)
+        jnp.asarray(plan.offsets, jnp.int32), jnp.asarray(plan.arc_of))
+    packed = np.asarray(packed)  # ONE [T+2, B] fetch over the tunnel
+    arcs, end_b, ok = packed[:-2], packed[-2], packed[-1].astype(bool)
     end_orig = plan.n2o[np.arange(len(graphs)), end_b]
     return V.assemble_batched_results(
         graphs, arcs, ok, np.maximum(end_orig, 0), np.asarray(score),
