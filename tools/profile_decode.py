@@ -20,13 +20,22 @@ from voicebridge_tpu.ops import gmm_kernels as K  # noqa: E402
 from voicebridge_tpu.ops import viterbi as V  # noqa: E402
 
 
+def _sync(r):
+    """block_until_ready is unreliable over the axon tunnel (returns before
+    remote execution finishes); a scalar host fetch is a true barrier."""
+    leaves = jax.tree.leaves(r)
+    for x in leaves:
+        if hasattr(x, "dtype"):
+            np.asarray(x.ravel()[:1].astype(jnp.float32))
+
+
 def timeit(fn, iters=3):
     fn()  # compile
-    jax.block_until_ready(fn())
+    _sync(fn())
     t0 = time.perf_counter()
     for _ in range(iters):
         r = fn()
-    jax.block_until_ready(r)
+        _sync(r)
     return (time.perf_counter() - t0) / iters
 
 
@@ -89,9 +98,9 @@ def main(b=32, t=1000, num_states=60_000, chunk=500):
         outs = []
         for i, bps in enumerate(reversed(bps_chunks)):
             lo = t - (i + 1) * chunk
-            r_, s_, st = DC.backtrace_scan(dev.row_start, dev.row_src, d, bps,
-                                           st, nf, jnp.int32(lo))
-            outs.append((r_, s_))
+            codes, st = DC.backtrace_scan(dev.row_start, dev.row_src, d, bps,
+                                          st, nf, jnp.int32(lo))
+            outs.append(codes)
         return outs
 
     t_bt = timeit(bt)
