@@ -87,6 +87,13 @@ def test_parity_random_banded():
     _parity(graphs, num_pdfs=11, seed=2)
 
 
+def test_parity_multi_chunk():
+    """T > 128 exercises the two-level scan (emissions per time-chunk)."""
+    rng = np.random.default_rng(8)
+    graphs = [_random_banded_graph(rng, 120) for _ in range(3)]
+    _parity(graphs, num_pdfs=11, seed=9, t=300)
+
+
 def test_parity_real_training_graphs():
     """Real compiled training graphs from the synthetic Yes-No pipeline
     (with optional silences: cycles inside the silence HMM, alternative
