@@ -890,14 +890,15 @@ def assemble_batched_results(graphs: list[DenseGraph], arcs: np.ndarray,
         a_i = arcs[:n, i].astype(np.int64)
         s = int(g.arc_src[a_i[0]]) if n else int(end_state[i])
         words: list[int] = list(g.oseqs[g.start_oseq[s]])
-        for a in a_i:
-            words.extend(g.oseqs[g.arc_oseq[a]])
+        o_ids = g.arc_oseq[a_i]
+        for o in o_ids[o_ids != 0]:  # oseqs[0] is (); skip wordless arcs
+            words.extend(g.oseqs[o])
         words.extend(g.oseqs[g.final_oseq[int(end_state[i])]])
         out.append({
-            "tids": [int(t) for t in g.arc_tid[a_i]],
+            "tids": g.arc_tid[a_i].tolist(),
             "words": words,
             "score": float(score[i]),
-            "arcs": [int(a) for a in a_i],
+            "arcs": a_i.tolist(),
         })
     return out
 
