@@ -125,14 +125,20 @@ class TestTransitionModel:
         y = lang.phones.id("Y_S")
         sil_ts = model.tuple_to_tstate(sil, 0, model.tree.map_mono(sil, 0))
         y_ts = model.tuple_to_tstate(y, 0, model.tree.map_mono(y, 0))
-        sil_fwd = model.state2id[sil_ts]  # some transition out of state 0
-        y_fwd = model.state2id[y_ts]
+        def fwd_tid(ts):
+            # first NON-self-loop transition out of the state — always exists
+            # (every emitting HMM state has a forward arc in these topos)
+            lo, hi = model.state2id[ts], model.state2id[ts + 1]
+            for tid in range(lo, hi):
+                if not model.tid_is_self_loop[tid]:
+                    return tid
+            raise AssertionError(f"tstate {ts} has only self-loops")
+
+        sil_fwd = fwd_tid(sil_ts)
+        y_fwd = fwd_tid(y_ts)
         sil_self = model.self_loop_tid_of(sil_ts)
         y_self = model.self_loop_tid_of(y_ts)
         ali = [sil_fwd, sil_self, sil_self, y_fwd, y_self]
-        # ensure the chosen fwd tids are non-self-loop out of state 0
-        if model.tid_is_self_loop[sil_fwd] or model.tid_is_self_loop[y_fwd]:
-            pytest.skip("first tid happens to be a self-loop in this topo")
         phones, seg = model.split_to_phones(ali)
         assert phones == [sil, y]
         assert list(seg) == [0, 0, 0, 1, 1]

@@ -28,7 +28,10 @@ That structure makes the Viterbi recursion gather-free:
 `build_band_plan` returns None when a graph set does not fit the banded
 form (band too wide, or pdfs not dst-pure); callers fall back to the
 generic kernel.  Scores are max-plus and exactly match the generic kernel
-(same arc set, same tie-free maxima).
+(same arc set, same tie-free maxima).  Parallel arcs (same src/dst/pdf)
+collapse to the single best-scoring one in the plan, and band-slot argmax
+tie-breaking differs from the generic arc-tree reduce — equal-score ties can
+yield a different (equally optimal) arc id than the generic kernel.
 """
 
 from __future__ import annotations
@@ -64,9 +67,11 @@ class BandPlan(NamedTuple):
 
 
 def _bfs_order(g: DenseGraph) -> Optional[np.ndarray]:
-    """BFS state order from the start states; None if some state with arcs
-    is unreachable (those could never be aligned anyway, but their arcs
-    would need band slots — fall back instead of widening the band)."""
+    """BFS state order from the start states; None only if the graph has no
+    start state.  States unreachable from the starts are parked at the END
+    of the order: their alpha stays NEG_INF so arcs out of them can never
+    win, but their arcs still receive band offsets and may widen the band
+    (possibly past ``max_band``, in which case build_band_plan falls back)."""
     import collections
 
     adj: dict[int, list[int]] = collections.defaultdict(list)
@@ -234,7 +239,10 @@ def backtrace_banded_device(alpha_end, final, bps, num_frames, offsets_arr,
         a = arc_of[bidx, st, k]
         ok = jnp.where(active, ok & (a >= 0), ok)
         prev = st - offsets_arr[k]
-        st = jnp.where(active, prev, st)
+        # guard on arc validity (like the generic backtrace's active&valid
+        # mask): after an empty band slot ok is already False, but keep the
+        # walk inside [0, S) instead of relying on index clamping
+        st = jnp.where(active & (a >= 0), prev, st)
         return (st, ok, t - 1), jnp.where(active, a, -1)
 
     (_, ok, _), arcs_rev = jax.lax.scan(

@@ -22,6 +22,13 @@ log = get_logger()
 
 _UNSET = object()
 
+# Beams at or above this are treated as "no pruning": alignment routes to the
+# exact gather-free banded kernel (ops/align_band.py) when the graph set fits
+# the banded form; below it the pruned generic kernel is used.  A large finite
+# beam (e.g. 5e8) therefore also gets the unpruned banded kernel — harmless,
+# since such beams prune nothing.
+_NO_PRUNE_BEAM = 1e8
+
 
 def align_banded(plan: AB.BandPlan, graphs: list, loglikes, num_frames,
                  acoustic_scale: float):
@@ -108,8 +115,12 @@ class AlignmentSet:
     def align(self, loglikes, num_frames, acoustic_scale: float = 1.0,
               beam: float = 1e9):
         """loglikes [B, T, P] (already on device / materializable); returns
-        list of alignment dicts (tids etc.).  Backtrace runs on device."""
-        if beam >= 1e8 and self.band is not None:
+        list of alignment dicts (tids etc.).  Backtrace runs on device.
+
+        beam >= _NO_PRUNE_BEAM routes to the exact banded kernel when the
+        graphs fit the banded form; smaller beams use the pruned generic
+        kernel."""
+        if beam >= _NO_PRUNE_BEAM and self.band is not None:
             # exact alignment over banded training graphs: gather-free kernel
             return align_banded(self.band, self.graphs, loglikes,
                                 num_frames, acoustic_scale)
@@ -148,7 +159,7 @@ class AlignmentSet:
         a_max = max(g.num_arcs for g in self.graphs)
         s_pad = s_max + 1
         num_pdfs = int(params.gconsts.shape[0])
-        band = self.band if beam >= 1e8 else None
+        band = self.band if beam >= _NO_PRUNE_BEAM else None
         plans, depth, rows = None, None, None
         if band is None:
             plans, (depth, rows) = self._graph_plans(s_pad)
@@ -176,7 +187,7 @@ class AlignmentSet:
                 n = int(num_frames[i])
                 feats_c[j, :n] = feats[i, :n]
             ll = K.loglikes_batch(params, jnp.asarray(feats_c))
-            if band is not None and beam >= 1e8:
+            if band is not None and beam >= _NO_PRUNE_BEAM:
                 chunk_res = align_banded(
                     AB.BandPlan(W=band.W[idx], pdf=band.pdf[idx],
                                 arc_of=band.arc_of[idx],
