@@ -44,3 +44,66 @@ def test_bucket_shapes():
     f2 = np.zeros((8, 256, 13), np.float32)
     p2, _, _ = Decoder._bucket(f2, np.full(8, 256))
     assert p2 is f2
+
+
+def _tiny_decoder():
+    from voicebridge_tpu.config import DecodeOptions, LangOptions
+    from voicebridge_tpu.data.lang import prepare_lang
+    from voicebridge_tpu.fst.hclg import mkgraph
+    from voicebridge_tpu.lm.arpa import arpa_to_fst
+    from voicebridge_tpu.lm.ngram import estimate_ngram
+    from voicebridge_tpu.models.gmm import AmDiagGmm
+    from voicebridge_tpu.models.transition import TransitionModel
+    from voicebridge_tpu.steps.train_mono import make_mono_tree
+
+    lex = {"YES": [(1.0, ("Y", "EH", "S"))], "NO": [(1.0, ("N", "OW"))]}
+    lang = prepare_lang(lex, ["SIL"], "SIL", LangOptions())
+    tree = make_mono_tree(lang)
+    tm = TransitionModel(lang.topo, tree)
+    arpa = estimate_ngram([["YES"], ["NO"], ["YES", "NO"]], order=2)
+    hclg = mkgraph(lang, tree, tm, arpa_to_fst(arpa, lang.words.id,
+                                               lang.word_disambig_id))
+    rng = np.random.default_rng(0)
+    p, m, d = tree.num_pdfs, 2, 13
+    am = AmDiagGmm(rng.standard_normal((p, m, d)).astype(np.float32),
+                   (np.abs(rng.standard_normal((p, m, d))) + 0.5).astype(
+                       np.float32),
+                   np.full((p, m), 1.0 / m, np.float32))
+    return Decoder(hclg, tm, am, DecodeOptions(lattice_beam=6.0)), d
+
+
+def test_lattice_window_model():
+    # W ~ sqrt(T) rounded to a power of two, clamped to [16, 64]
+    assert Decoder._lattice_window(100) == 16
+    assert Decoder._lattice_window(256) == 16
+    assert Decoder._lattice_window(1000) == 32
+    assert Decoder._lattice_window(3000) == 64
+    assert Decoder._lattice_window(10) == 16
+    assert Decoder._lattice_window(100000) == 64
+
+
+def test_decode_lattice_no_recompile_across_lengths():
+    """The lattice path's window programs must stay jit-cache-warm across
+    batches of different raw T and B (VERDICT r2 weak #3)."""
+    from voicebridge_tpu.ops import lattice as LAT
+
+    dec, dim = _tiny_decoder()
+    rng = np.random.default_rng(1)
+
+    def run(b, t):
+        feats = rng.standard_normal((b, t, dim)).astype(np.float32)
+        nf = np.full(b, t, np.int32)
+        nf[-1] = max(1, t - 7)
+        lats = dec.decode_lattice([f"u{i}" for i in range(b)], feats, nf)
+        assert len(lats) == b
+
+    run(3, 100)  # warm: T buckets to 128, window 16
+    f0 = LAT._fb_win_forward._cache_size()
+    b0 = LAT._fb_win_backward._cache_size()
+    assert f0 > 0 and b0 > 0
+    run(3, 120)
+    run(2, 90)
+    assert LAT._fb_win_forward._cache_size() == f0, \
+        "varying T/B recompiled the lattice forward window"
+    assert LAT._fb_win_backward._cache_size() == b0, \
+        "varying T/B recompiled the lattice backward window"

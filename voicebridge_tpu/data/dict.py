@@ -17,8 +17,20 @@ from ..utils.logging import get_logger
 log = get_logger()
 
 
-def read_ref_dict(path: str | Path) -> dict:
-    """Read 'WORD PH1 PH2 ...' lines -> word -> list of (prob, phones)."""
+def read_ref_dict(path: str | Path, strip_stress: bool = False) -> dict:
+    """Read 'WORD PH1 PH2 ...' lines -> word -> list of (prob, phones).
+
+    Handles the reference's shipped lexicons (``/root/reference/lexicons/
+    EN/cmudict.dict`` — 135k lines, ``WORD(2)``-style alternates, ``;;;``
+    comments, trailing ``# comment`` fragments on some entries).
+
+    ``strip_stress``: cmudict vowels carry stress digits (``AH0``/``AW1``);
+    by default they are KEPT as distinct phones, matching the lexicon the
+    reference feeds Phonetisaurus verbatim (``prepare_dict.cpp:51-73``
+    passes the file through unmodified).  Pass True to fold the stress
+    variants into their base phone (smaller phone set for small corpora).
+    Duplicate pronunciations after stripping are merged.
+    """
     out: dict[str, list] = {}
     for line in Path(path).read_text(encoding="utf-8").splitlines():
         parts = line.split()
@@ -28,7 +40,16 @@ def read_ref_dict(path: str | Path) -> dict:
         # cmudict alternates like WORD(2)
         if "(" in word:
             word = word[: word.index("(")]
-        out.setdefault(word, []).append((1.0, tuple(parts[1:])))
+        phones = parts[1:]
+        if "#" in phones:  # trailing comment ("# abbreviation" etc.)
+            phones = phones[: phones.index("#")]
+        if strip_stress:
+            phones = [p.rstrip("012") for p in phones]
+        if not phones:
+            continue
+        pron = (1.0, tuple(phones))
+        if pron not in out.setdefault(word, []):
+            out[word].append(pron)
     return out
 
 

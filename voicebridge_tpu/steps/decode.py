@@ -157,6 +157,18 @@ class Decoder:
                                      acoustic_scale=1.0 / w)
                 for w in lmwts}
 
+    @staticmethod
+    def _lattice_window(t: int) -> int:
+        """Frames per lattice-FB window.  Device residency per utterance
+        scales as S*(W + T/W) — the in-window beta/alpha recompute plus one
+        alpha snapshot per window — minimized at W ~ sqrt(T).  Rounded to
+        the nearest power of two and clamped to [16, 64] so the whole
+        T = 100..3000 range shares at most three compiled window programs
+        (measured on the real chip in tools/exp_lattice_window.py; 16 vs 64
+        also bounds the per-window mask fetch)."""
+        w = 1 << max(0, int(round(np.log2(max(t, 1)) / 2.0)))
+        return max(16, min(64, w))
+
     def decode_lattice(self, utts: list[str], feats: np.ndarray,
                        num_frames: np.ndarray,
                        acoustic_scale: float | None = None) -> dict:
@@ -170,10 +182,7 @@ class Decoder:
 
         acwt = self.opts.acoustic_scale if acoustic_scale is None else acoustic_scale
         g = self.graph
-        # W + T/W terms (beta slab + per-window alpha snapshots) dominate
-        # device residency; W ~ sqrt(T) balances them.  Small fixed set so
-        # the jit cache stays warm.
-        window = 16
+        window = self._lattice_window(np.asarray(feats).shape[1])
         if not hasattr(self, "_lat_plans"):
             plan, fwd_dev, bwd_dev, row_dst = LAT.build_lattice_plans(
                 g, fwd_plan=self.plan)
@@ -181,7 +190,14 @@ class Decoder:
         fwd_dev, bwd_dev, row_dst = self._lat_plans
         feats = np.asarray(feats)
         num_frames = np.asarray(num_frames)
-        t_pad = max(window, -(-feats.shape[1] // window) * window)
+        # pad T to a multiple of 128: a multiple of every window choice, and
+        # the same T-bucketing as the best-path `_bucket`, so both decode
+        # paths share compiled loglik programs across varying raw lengths
+        t_pad = max(128, -(-feats.shape[1] // 128) * 128)
+        if t_pad != feats.shape[1]:
+            feats = np.concatenate(
+                [feats, np.zeros((feats.shape[0], t_pad - feats.shape[1],
+                                  feats.shape[2]), feats.dtype)], axis=1)
         s1 = self.plan.num_states + 1
         nbytes = -(-self.plan.num_rows * self.plan.d // 8)
         # device residency per utterance: beta slab + snapshots + loglikes +
@@ -189,7 +205,10 @@ class Decoder:
         dev_per_utt = (4.0 * s1 * (window + t_pad // window)
                        + 4.0 * t_pad * self.params.gconsts.shape[0]
                        + 2.0 * window * nbytes)
-        b_chunk = int(max(2, min(64, 640e6 / dev_per_utt)))
+        n = max(2, min(64, 640e6 / dev_per_utt))
+        # power-of-two sub-batch: arbitrary b_chunk values would compile one
+        # window program per distinct (graph, B) pair
+        b_chunk = 1 << int(np.log2(n))
         out: dict = {}
         n_chunks = -(-len(utts) // b_chunk)
         for ci, lo in enumerate(range(0, len(utts), b_chunk)):
