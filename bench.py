@@ -203,6 +203,27 @@ CONFIGS = [
     (6_000, 8, 100, 600),
 ]
 
+def run_real_graph_config(mode: str, b: int, t: int):
+    """Real compiled-HCLG decode bench (VERDICT r2 #2/#3): the graph the
+    flagship example's mono stage decodes with (fst/hclg.py mkgraph over the
+    testing lexicon + mod-KN trigram, ~90k states with real epsilon
+    structure and non-dst-pure states), through the PRODUCTION
+    steps/decode.Decoder — best_path or the lattice-generating path every
+    committed WER flows through.  Prints one JSON line."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tools.bench_real_graph import bench, load_or_build, make_decoder
+
+    hclg, tm, tree, _lang = load_or_build()
+    decoder, _am, dim = make_decoder(hclg, tm, tree)
+    v = bench(decoder, dim, b, t, mode, iters=3)
+    print(json.dumps({
+        "metric": f"real_hclg_{mode}_audio_seconds_per_sec_1chip",
+        "value": round(v, 2), "unit": "audio-s/s",
+        "config": {"mode": mode, "num_states": hclg.num_states,
+                   "rows": decoder.plan.num_rows, "batch": b, "frames": t},
+    }), flush=True)
+
+
 # train bench: (batch, frames, graph_states, timeout_s).  The banded
 # alignment kernel (ops/align_band.py) stores ONE uint8 band slot per state
 # per frame: bp ~= 30 MB at the flagship size.  b=384 exhausts the worker
@@ -212,6 +233,17 @@ TRAIN_CONFIGS = [
     (192, 400, 384, 1200),
     (96, 400, 384, 900),
     (32, 200, 256, 600),
+]
+
+# real-HCLG decode: (mode, batch, frames, timeout_s); ladder per mode.
+# The first call builds + caches the graph (~60 s host-side).
+REAL_CONFIGS = [
+    ("best_path", 128, 1000, 1800),
+    ("best_path", 32, 500, 1200),
+]
+REAL_LAT_CONFIGS = [
+    ("lattice", 128, 1000, 2400),
+    ("lattice", 32, 500, 1500),
 ]
 
 
@@ -256,6 +288,16 @@ def main():
         b, t, s, _to = TRAIN_CONFIGS[i]
         run_train_config(b, t, s)
         return
+    if os.environ.get("VB_BENCH_REAL_CHILD"):
+        i = int(os.environ["VB_BENCH_REAL_CHILD"]) - 1
+        mode, b, t, _to = REAL_CONFIGS[i]
+        run_real_graph_config(mode, b, t)
+        return
+    if os.environ.get("VB_BENCH_REAL_LAT_CHILD"):
+        i = int(os.environ["VB_BENCH_REAL_LAT_CHILD"]) - 1
+        mode, b, t, _to = REAL_LAT_CONFIGS[i]
+        run_real_graph_config(mode, b, t)
+        return
     rec = _run_ladder(CONFIGS, "VB_BENCH_CHILD", "decode")
     if rec is None:
         rec = {"metric": "decode_audio_seconds_per_sec_1chip",
@@ -272,6 +314,19 @@ def main():
             rec["train_error"] = trec["error"]
     else:
         rec["train_error"] = "all train bench configs failed on this worker"
+    # real compiled-HCLG decode (best-path + lattice-generating production
+    # paths) beside the synthetic number (VERDICT r2 #2/#3)
+    for key, configs, envvar in (
+            ("real_hclg_best_path", REAL_CONFIGS, "VB_BENCH_REAL_CHILD"),
+            ("real_hclg_lattice", REAL_LAT_CONFIGS, "VB_BENCH_REAL_LAT_CHILD")):
+        rrec = _run_ladder(configs, envvar, key)
+        if rrec is not None:
+            rec[f"{key}_audio_seconds_per_sec_1chip"] = rrec["value"]
+            rec[f"{key}_config"] = rrec.get("config")
+            if "error" in rrec:
+                rec[f"{key}_error"] = rrec["error"]
+        else:
+            rec[f"{key}_error"] = "all configs failed on this worker"
     print(json.dumps(rec), flush=True)
 
 

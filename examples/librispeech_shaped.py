@@ -31,6 +31,10 @@ def main(argv=None):
     ap.add_argument("--utts", type=int, default=20, help="train utts/speaker")
     ap.add_argument("--test-per", type=int, default=3)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--snr-db", type=float, default=30.0,
+                    help="corpus SNR; 30 = clean (near-zero WER at full "
+                         "scale), ~0-5 = noisy condition where the model "
+                         "ladder has room to separate")
     ap.add_argument("--mono-iters", type=int, default=20)
     ap.add_argument("--mono-gauss", type=int, default=700)
     ap.add_argument("--leaves", type=int, default=900)
@@ -59,7 +63,8 @@ def main(argv=None):
         with timer.stage("synthesize"):
             train, test, utt2spk = make_corpus(
                 num_speakers=args.speakers, utts_per_speaker=args.utts,
-                num_test_per=args.test_per, seed=args.seed)
+                num_test_per=args.test_per, seed=args.seed,
+                snr_db=args.snr_db)
             write_corpus(waves, train, test, utt2spk)
             (waves / ".done").write_text("ok")
 
@@ -149,6 +154,7 @@ def main(argv=None):
     print(f"[tri3b sat] {results['tri3b'].best_wer}", flush=True)
 
     report = {
+        "snr_db": args.snr_db,
         "corpus": {"speakers": args.speakers,
                    "train_utts": len(proj.train_data.utts),
                    "test_utts": len(proj.test_data.utts),

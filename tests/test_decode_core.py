@@ -179,3 +179,22 @@ def test_packed_mode_used_on_hclg_like_graph():
     for r, rr in zip(res, ref):
         assert np.isclose(r["score"], rr["score"], rtol=1e-5, atol=1e-4)
         assert r["arcs"] == rr["arcs"]
+
+
+def test_recompute_backtrace_parity():
+    """Checkpoint/recompute decode (bp budget exceeded) must reproduce the
+    keep-all-backpointers result exactly."""
+    rng = np.random.default_rng(7)
+    g = random_dense_graph(rng, s=40, a=200)
+    plan = DC.build_emit_plan(g, d=4, k_upper=3)
+    dev = DC.plan_to_device(plan)
+    b, p, t = 3, 7, 50
+    ll = jnp.asarray(rng.standard_normal((b, t, p)), jnp.float32)
+    nf = np.array([50, 37, 12], np.int32)
+    keep = DC.decode_best_path(g, plan, dev, ll, nf, 0.7, chunk=16)
+    rec = DC.decode_best_path(g, plan, dev, ll, nf, 0.7, chunk=16,
+                              bp_bytes_budget=1)
+    for a, c in zip(keep, rec):
+        assert a["arcs"] == c["arcs"]
+        assert a["words"] == c["words"]
+        assert abs(a["score"] - c["score"]) < 1e-4

@@ -1,26 +1,40 @@
-"""Render REPORT.md from a librispeech_shaped run's report.json.
+"""Render REPORT.md from librispeech_shaped run reports (one per condition).
 
-Usage: python tools/make_report.py /tmp/ls_shaped_r2/report.json [bench.json]
+Usage: python tools/make_report.py LABEL=path/report.json [LABEL2=...]
+           [--bench bench.json] [--real-graph real_graph.json]
+           [--out REPORT.md]
 
 The reference's integration oracle is TestLibriSpeech (real audio, 5.92% WER,
 ~25 min on 4 CPU cores, /root/reference/README.md:50); real LibriSpeech audio
 is unobtainable offline, so the corpus here is the formant-synthesized
-LibriSpeech-shaped stand-in (voicebridge_tpu/testing/) at comparable scale.
+LibriSpeech-shaped stand-in (voicebridge_tpu/testing/) at comparable scale,
+run at a clean (SNR 30 dB) and a noisy (low-SNR) condition — the noisy one
+gives the model ladder room to separate.
 """
 
+import argparse
 import json
-import sys
 from pathlib import Path
 
 
 def main():
-    rj = Path(sys.argv[1])
-    rep = json.loads(rj.read_text())
-    bench = None
-    if len(sys.argv) > 2 and Path(sys.argv[2]).exists():
-        bench = json.loads(Path(sys.argv[2]).read_text())
+    ap = argparse.ArgumentParser()
+    ap.add_argument("runs", nargs="+", help="LABEL=path/report.json")
+    ap.add_argument("--bench", default=None)
+    ap.add_argument("--real-graph", default=None)
+    ap.add_argument("--out", default="REPORT.md")
+    args = ap.parse_args()
 
-    c = rep["corpus"]
+    runs = []
+    for spec in args.runs:
+        label, _, path = spec.partition("=")
+        runs.append((label, json.loads(Path(path).read_text())))
+    bench = (json.loads(Path(args.bench).read_text())
+             if args.bench and Path(args.bench).exists() else None)
+    realg = (json.loads(Path(args.real_graph).read_text())
+             if args.real_graph and Path(args.real_graph).exists() else None)
+
+    c = runs[0][1]["corpus"]
     lines = [
         "# REPORT — end-to-end pipeline at LibriSpeech-shaped scale",
         "",
@@ -31,40 +45,53 @@ def main():
         "HCLG → decode",
         "→ WER; oracle 5.92% WER / ~25 min on 4 CPU cores, "
         "`/root/reference/README.md:50`).",
-        "Real LibriSpeech audio is unobtainable offline; this run uses the",
+        "Real LibriSpeech audio is unobtainable offline; these runs use the",
         "formant-synthesized LibriSpeech-shaped corpus "
         "(`voicebridge_tpu/testing/`),",
         "which preserves the shape of the task (speaker variation, ~200-word",
         "vocabulary, trigram LM, G2P-backed lexicon) but not its acoustics.",
         "",
         f"**Corpus**: {c['speakers']} speakers, {c['train_utts']} train / "
-        f"{c['test_utts']} test utterances, {c['audio_s']:.0f}s audio.",
+        f"{c['test_utts']} test utterances, {c['audio_s']:.0f}s audio; "
+        "full iteration counts (20 mono iters / 14 triphone iters), decoded "
+        "through the production lattice-generating path with the full "
+        "(LMWT 7..17 × WIP {0, .5, 1}) scoring grid.",
         "",
-        "## WER by stage (best over the LMWT 7..17 × WIP {0, 0.5, 1} grid)",
+        "## WER by stage and condition (best grid point)",
         "",
-        "| stage | WER % | ins | del | sub | LMWT |",
-        "|---|---|---|---|---|---|",
+        "| stage | " + " | ".join(
+            f"{lbl} WER % (ins/del/sub)" for lbl, _ in runs) + " |",
+        "|---|" + "---|" * len(runs),
     ]
-    for k, w in rep["wer"].items():
-        lines.append(f"| {k} | {w['wer']} | {w['ins']} | {w['del']} | "
-                     f"{w['sub']} | {w['lmwt']} |")
-    lines += [
-        "",
-        "## Per-stage wall time / throughput",
-        "",
-        "| stage | wall s | audio-s/s |",
-        "|---|---|---|",
-    ]
-    for st in rep["stages"]:
-        aps = (f"{st['audio_s'] / st['wall_s']:.1f}"
-               if st.get("audio_s") else "—")
-        lines.append(f"| {st['name']} | {st['wall_s']:.1f} | {aps} |")
-    lines += ["", f"Total wall: **{rep['wall_s']:.0f}s**.", ""]
+    stages = list(runs[0][1]["wer"])
+    for k in stages:
+        cells = []
+        for _lbl, rep in runs:
+            w = rep["wer"].get(k)
+            cells.append(f"{w['wer']} ({w['ins']}/{w['del']}/{w['sub']})"
+                         if w else "—")
+        lines.append(f"| {k} | " + " | ".join(cells) + " |")
+    lines += [""]
+    for lbl, rep in runs:
+        snr = rep.get("snr_db", "?")
+        lines += [
+            f"### {lbl} (SNR {snr} dB) — per-stage wall time / throughput",
+            "",
+            "| stage | wall s | audio-s/s |",
+            "|---|---|---|",
+        ]
+        for st in rep["stages"]:
+            aps = (f"{st['audio_s'] / st['wall_s']:.1f}"
+                   if st.get("audio_s") else "—")
+            lines.append(f"| {st['name']} | {st['wall_s']:.1f} | {aps} |")
+        lines += ["", f"Total wall: **{rep['wall_s']:.0f}s** "
+                  f"(reference: ~25 min for its smaller real corpus).", ""]
     if bench:
         lines += [
             "## Real-chip hot-path benchmarks (bench.py, 1× TPU v5e)",
             "",
-            f"- decode: **{bench['value']} audio-s/s** "
+            f"- decode (synthetic 60k-state graph, best-path): "
+            f"**{bench['value']} audio-s/s** "
             f"({bench['vs_baseline']}× the ≥100 north-star target) at "
             f"{bench['config']}",
         ]
@@ -73,18 +100,28 @@ def main():
                 f"- train EM: **{bench['train_audio_seconds_per_sec_1chip']}"
                 f" audio-s/s** at {bench.get('train_config')}")
         lines.append("")
-    lines += [
-        "The end-to-end run above executes on whatever backend is available "
-        "(this",
-        "report's run used the 8-device virtual CPU mesh of the test "
-        "harness when",
-        "the TPU tunnel was saturated by benchmarks); the hot-path numbers "
-        "come from",
-        "the real chip via bench.py and SCALING.md.",
-        "",
-    ]
-    Path("REPORT.md").write_text("\n".join(lines))
-    print("wrote REPORT.md")
+    if realg:
+        g = realg["graph"]
+        lines += [
+            "## Real compiled-HCLG decode (tools/bench_real_graph.py, "
+            "1× TPU v5e)",
+            "",
+            f"Graph: {g['states']} states / {g['arcs_eps_free']} eps-free "
+            f"arcs ({g['rows']} EmitPlan rows, d={g['d']}), built by the "
+            "repo's own `fst/hclg.py mkgraph` from the testing lexicon + "
+            "mod-KN trigram — real epsilon structure and non-dst-pure "
+            "states, unlike bench.py's idealized synthetic graph.",
+            "",
+        ]
+        for mode in ("best_path", "lattice"):
+            if mode in realg:
+                m = realg[mode]
+                lines.append(
+                    f"- {mode}: **{m['audio_s_per_s']} audio-s/s** at "
+                    f"batch {m['batch']} × {m['frames']} frames")
+        lines.append("")
+    Path(args.out).write_text("\n".join(lines) + "\n")
+    print(f"wrote {args.out}")
 
 
 if __name__ == "__main__":

@@ -60,7 +60,7 @@ def main(b=32, t=1000, num_states=60_000, chunk=500):
     plan = DC.build_emit_plan(graph, d=8)
     dev = DC.plan_to_device(plan)
     print(f"B={b} T={t} S={num_states} R={plan.num_rows} D={plan.d} "
-          f"levels={len(plan.upper)} packed={plan.packed}")
+          f"lvl1={plan.lvl1.shape} hubs={plan.hub_idx.shape} packed={plan.packed}")
     feats = jnp.asarray(rng.standard_normal((b, t, dim)), jnp.float32)
     num_frames = np.full((b,), t, np.int32)
     nf = jnp.asarray(num_frames)

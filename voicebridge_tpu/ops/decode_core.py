@@ -52,6 +52,21 @@ class EmitPlan(NamedTuple):
     ``S``) whose score is pinned to NEG_INF so padded ``row_src`` entries are
     harmless.  Rows are sorted by destination state, so the rows of state
     ``s`` are ``row_start[s] : row_start[s+1]``.
+
+    The row -> state max-reduction is a THREE-stage tree shaped for real
+    HCLGs, whose in-degree distribution is extremely skewed (one LM-backoff
+    hub state can own thousands of (dst, pdf) rows while the median state
+    owns one):
+
+    * ``lvl1`` [L1, K]: chunk every state's rows K at a time (contiguous in
+      row space);
+    * ``hub_idx`` [n_hub, H_pad]: for the few states with more than K
+      level-1 chunks, ONE wide dense reduction over their (contiguous)
+      chunk range — replacing what used to be log_K(H) additional
+      full-[S]-width levels (a 90k-state graph with a 5331-row hub needed
+      SEVEN ~90k-wide levels; measured 6x the relaxation's gather traffic);
+    * ``final_idx`` [S+1, K] into level-1 chunks (states with <= K chunks)
+      merged with ``final_hub`` [S+1] into the hub outputs (-1 elsewhere).
     """
 
     row_src: np.ndarray  # [R, D] int32 source state per slot (pad: S)
@@ -59,8 +74,12 @@ class EmitPlan(NamedTuple):
     row_pdf: np.ndarray  # [R] int32 pdf shared by the row's arcs
     row_arc: np.ndarray  # [R, D] int32 original arc id (pad: -1; host only)
     row_start: np.ndarray  # [S+2] int32 CSR of rows per state
-    upper: tuple  # upper reduction levels: [L_i, K] int32 (-1 pad);
-    # level 1 indexes rows, the last level has exactly S+1 rows
+    lvl1: np.ndarray  # [L1, K] int32 row indices (-1 pad)
+    hub_idx: np.ndarray  # [n_hub, H_pad] int32 level-1 chunk indices
+    #                      (-1 pad); n_hub == 0 when no state overflows
+    final_idx: np.ndarray  # [S+1, K] int32 level-1 chunk indices (-1 pad;
+    #                        all -1 for hub states)
+    final_hub: np.ndarray  # [S+1] int32 hub output slot (-1 for non-hub)
     num_states: int  # S (real states, excluding the pad state)
     packed: bool  # True: bp code fits uint8 (else int16/int32)
 
@@ -163,30 +182,41 @@ def build_emit_plan(graph: DenseGraph, d: Optional[int] = None,
         f"state with {max_rows} rows exceeds the int16 bp code range"
     packed = max_rows * d <= 256
 
-    # upper levels: repeatedly chunk rows-of-equal-state by k_upper until one
-    # row per state
-    upper = []
-    elems = np.arange(r, dtype=np.int64)
-    groups = row_dst
-    while True:
-        rs, re = _runs(groups)
-        idx, cr = _chunk_runs(rs, re, elems, k_upper)
-        g2 = groups[rs][cr]
-        if int((-(-np.diff(np.concatenate([rs, [len(groups)]])[:len(rs) + 1])
-                  // k_upper)).max() if len(rs) else 1) <= 1 or \
-                len(idx) == len(np.unique(g2)):
-            final = np.full((s_pad, k_upper), -1, np.int64)
-            final[g2] = idx
-            upper.append(final.astype(np.int32))
-            break
-        upper.append(idx.astype(np.int32))
-        elems = np.arange(len(idx), dtype=np.int64)
-        groups = g2
+    # ---- three-stage reduction tree (see EmitPlan docstring) -------------
+    # level 1: chunk each state's (contiguous) rows k_upper at a time
+    rows_per_state = np.diff(row_start).astype(np.int64)
+    lvl1, chunk_state = _chunk_runs(
+        row_start[:-1].astype(np.int64), row_start[1:].astype(np.int64),
+        np.arange(r, dtype=np.int64), k_upper)
+    chunks_per_state = -(-rows_per_state // k_upper)
+    first_chunk = np.concatenate([[0], np.cumsum(chunks_per_state[:-1])])
+    # states whose chunk count exceeds k_upper need the hub stage
+    hub_states = np.flatnonzero(chunks_per_state > k_upper)
+    n_hub = len(hub_states)
+    final_hub = np.full(s_pad, -1, np.int64)
+    if n_hub:
+        h_pad = int(chunks_per_state[hub_states].max())
+        hub_idx = np.full((n_hub, h_pad), -1, np.int64)
+        for i, hs in enumerate(hub_states):
+            c0, cn = int(first_chunk[hs]), int(chunks_per_state[hs])
+            hub_idx[i, :cn] = np.arange(c0, c0 + cn)
+        final_hub[hub_states] = np.arange(n_hub)
+    else:
+        hub_idx = np.zeros((0, 1), np.int64)
+    final_idx = np.full((s_pad, k_upper), -1, np.int64)
+    normal = chunks_per_state <= k_upper
+    for k in range(k_upper):
+        sel = normal & (chunks_per_state > k)
+        final_idx[sel, k] = first_chunk[sel] + k
 
     assert int(row_start[-1]) == r
     return EmitPlan(row_src=row_src, row_w=row_w, row_pdf=row_pdf_all,
                     row_arc=row_arc, row_start=row_start,
-                    upper=tuple(upper), num_states=s_real, packed=packed)
+                    lvl1=lvl1.astype(np.int32),
+                    hub_idx=hub_idx.astype(np.int32),
+                    final_idx=final_idx.astype(np.int32),
+                    final_hub=final_hub.astype(np.int32),
+                    num_states=s_real, packed=packed)
 
 
 class EmitPlanDev(NamedTuple):
@@ -196,7 +226,10 @@ class EmitPlanDev(NamedTuple):
     row_w: jnp.ndarray  # [R, D]
     row_pdf: jnp.ndarray  # [R]
     row_start: jnp.ndarray  # [S+2]
-    upper: tuple
+    lvl1: jnp.ndarray  # [L1, K]
+    hub_idx: jnp.ndarray  # [n_hub, H_pad] ([0, 1] when no hubs)
+    final_idx: jnp.ndarray  # [S+1, K]
+    final_hub: jnp.ndarray  # [S+1]
 
 
 def plan_to_device(plan: EmitPlan) -> EmitPlanDev:
@@ -205,7 +238,10 @@ def plan_to_device(plan: EmitPlan) -> EmitPlanDev:
         row_w=jnp.asarray(plan.row_w),
         row_pdf=jnp.asarray(plan.row_pdf),
         row_start=jnp.asarray(plan.row_start),
-        upper=tuple(jnp.asarray(u) for u in plan.upper),
+        lvl1=jnp.asarray(plan.lvl1),
+        hub_idx=jnp.asarray(plan.hub_idx),
+        final_idx=jnp.asarray(plan.final_idx),
+        final_hub=jnp.asarray(plan.final_hub),
     )
 
 
@@ -213,17 +249,29 @@ def _bp_dtype(plan_packed: bool):
     return jnp.uint8 if plan_packed else jnp.int16
 
 
-def value_tree(v, upper, b):
-    """Row values [R, B] -> state values [S+1, B] via the upper max-reduction
-    levels (values only, no winner codes)."""
-    for idx in upper:
-        l, k = idx.shape
-        safe = jnp.maximum(idx, 0).reshape(-1)
-        valid = (idx >= 0)[:, :, None]
-        cand = jnp.where(valid, jnp.take(v, safe, axis=0).reshape(l, k, b),
-                         NEG_INF)
-        v = jnp.max(cand, axis=1)
-    return v
+def _gather_max(v, idx, b):
+    """max over idx's K slots of v's rows: idx [L, K] (-1 pad) -> [L, B]."""
+    l, k = idx.shape
+    safe = jnp.maximum(idx, 0).reshape(-1)
+    valid = (idx >= 0)[:, :, None]
+    cand = jnp.where(valid, jnp.take(v, safe, axis=0).reshape(l, k, b),
+                     NEG_INF)
+    return jnp.max(cand, axis=1)
+
+
+def value_tree(v, dev: EmitPlanDev, b):
+    """Row values [R, B] -> state values [S+1, B] via the three-stage tree
+    (lvl1 chunks -> optional hub wide-reduce -> final merge); values only,
+    no winner codes."""
+    v1 = _gather_max(v, dev.lvl1, b)
+    out = _gather_max(v1, dev.final_idx, b)
+    if dev.hub_idx.shape[0]:
+        vh = _gather_max(v1, dev.hub_idx, b)
+        safe_h = jnp.maximum(dev.final_hub, 0)
+        vh2 = jnp.where((dev.final_hub >= 0)[:, None],
+                        jnp.take(vh, safe_h, axis=0), NEG_INF)
+        out = jnp.maximum(out, vh2)
+    return out
 
 
 def emit_value_step(alpha, ll_t, dev: EmitPlanDev, acwt):
@@ -236,7 +284,7 @@ def emit_value_step(alpha, ll_t, dev: EmitPlanDev, acwt):
     g = jnp.take(alpha, dev.row_src, axis=0).reshape(r, d_w, b) \
         + dev.row_w[:, :, None]
     v = jnp.max(g, axis=1) + am  # [R, B]
-    return value_tree(v, dev.upper, b)
+    return value_tree(v, dev, b)
 
 
 def _emit_step(alpha, ll_t, dev: EmitPlanDev, acwt, packed: bool, beam=None):
@@ -255,18 +303,35 @@ def _emit_step(alpha, ll_t, dev: EmitPlanDev, acwt, packed: bool, beam=None):
     # winner code = global_row * D + slot; propagated through the tree by
     # equality-masked max (take_along_axis would be an element gather)
     code = jnp.arange(r, dtype=jnp.int32)[:, None] * d_w + slot  # [R, B]
-    for idx in dev.upper:
+
+    def level(v_in, code_in, idx):
         l, k = idx.shape
         safe = jnp.maximum(idx, 0).reshape(-1)
         valid = (idx >= 0)[:, :, None]
-        cand = jnp.where(valid, jnp.take(v, safe, axis=0).reshape(l, k, b),
+        cand = jnp.where(valid,
+                         jnp.take(v_in, safe, axis=0).reshape(l, k, b),
                          NEG_INF)
-        ccode = jnp.where(valid, jnp.take(code, safe, axis=0).reshape(l, k, b),
+        ccode = jnp.where(valid,
+                          jnp.take(code_in, safe, axis=0).reshape(l, k, b),
                           -1)
-        v = jnp.max(cand, axis=1)  # [L, B]
+        v_out = jnp.max(cand, axis=1)  # [L, B]
         # exact-equality tie-break: any maximal candidate's code is a valid
         # backpointer; take the largest so (value, code) stay consistent
-        code = jnp.max(jnp.where(cand == v[:, None, :], ccode, -1), axis=1)
+        c_out = jnp.max(jnp.where(cand == v_out[:, None, :], ccode, -1),
+                        axis=1)
+        return v_out, c_out
+
+    v1, code1 = level(v, code, dev.lvl1)
+    v, code = level(v1, code1, dev.final_idx)
+    if dev.hub_idx.shape[0]:
+        vh, ch = level(v1, code1, dev.hub_idx)
+        safe_h = jnp.maximum(dev.final_hub, 0)
+        hub_ok = (dev.final_hub >= 0)[:, None]
+        vh2 = jnp.where(hub_ok, jnp.take(vh, safe_h, axis=0), NEG_INF)
+        ch2 = jnp.where(hub_ok, jnp.take(ch, safe_h, axis=0), -1)
+        take_h = vh2 > v
+        v = jnp.maximum(v, vh2)
+        code = jnp.where(take_h, ch2, code)
     # v, code now have S+1 rows (state-indexed)
     if beam is not None:
         best = jnp.max(v, axis=0, keepdims=True)
@@ -275,22 +340,33 @@ def _emit_step(alpha, ll_t, dev: EmitPlanDev, acwt, packed: bool, beam=None):
     return v, bp.astype(_bp_dtype(packed))
 
 
-@functools.partial(jax.jit, static_argnames=("packed", "use_beam"))
+@functools.partial(jax.jit, static_argnames=("packed", "use_beam", "with_bp"))
 def viterbi_scan(dev: EmitPlanDev, alpha, alpha_at_end, loglikes, num_frames,
                  t0, acoustic_scale, beam, packed: bool,
-                 use_beam: bool = False):
+                 use_beam: bool = False, with_bp: bool = True):
     """Forward Viterbi over a block of frames in ONE compiled scan, resuming
     from (alpha, alpha_at_end) at absolute frame ``t0``.
 
     loglikes [B, T, P]; num_frames [B].  Returns
     ((alpha [S+1, B], alpha_at_end [S+1, B]), bp) with bp stacked over T.
-    """
+    ``with_bp=False`` skips the backpointer output entirely (the [T, S+1, B]
+    table is never materialized in HBM) — used by the recompute-backtrace
+    path's first pass, where only the carried alphas matter."""
     ll = jnp.transpose(loglikes, (1, 2, 0))  # [T, P, B]
 
     def step(carry, ll_t):
         a, ae, t = carry
-        new_alpha, bp = _emit_step(
-            a, ll_t, dev, acoustic_scale, packed, beam if use_beam else None)
+        if with_bp:
+            new_alpha, bp = _emit_step(
+                a, ll_t, dev, acoustic_scale, packed,
+                beam if use_beam else None)
+        else:
+            new_alpha = emit_value_step(a, ll_t, dev, acoustic_scale)
+            if use_beam:
+                best = jnp.max(new_alpha, axis=0, keepdims=True)
+                new_alpha = jnp.where(new_alpha >= best - beam, new_alpha,
+                                      NEG_INF)
+            bp = None
         active = (t < num_frames)[None, :]
         a = jnp.where(active, new_alpha, a)
         at_end = (t + 1 == num_frames)[None, :]
@@ -351,17 +427,34 @@ def select_end_state(alpha_end, final_score):
     return end_state, score, use_final, has_path
 
 
+# device-resident backpointer budget for decode_best_path: above this the
+# recompute-backtrace mode kicks in (the remote worker degrades well before
+# HBM is actually full; measured in tools/prof_decode notes, VERDICT r3)
+BP_BYTES_BUDGET = 2_000_000_000
+
+
 def decode_best_path(graph: DenseGraph, plan: EmitPlan, dev: EmitPlanDev,
                      loglikes, num_frames, acoustic_scale: float,
                      beam: Optional[float] = None,
-                     chunk: Optional[int] = None) -> list[dict]:
+                     chunk: Optional[int] = None,
+                     bp_bytes_budget: int = BP_BYTES_BUDGET) -> list[dict]:
     """Full 1-best decode: forward scan + device backtrace + host assembly.
 
     Same output structure as ``viterbi.backtrace_shared``:
     [{"tids", "words", "score", "arcs"}] per utterance.  ``chunk`` bounds the
     scan length per dispatch (memory control for very long T); chunks carry
     ``alpha`` forward and the backtrace walks them in reverse.
-    """
+
+    When the full backpointer table ``T * (S+1) * B`` would exceed
+    ``bp_bytes_budget`` (real HCLGs break uint8 bp packing — an LM-backoff
+    hub state has thousands of in-degree rows — so bps are int16 and a
+    [1000, 90k, 128] table is ~23 GB), the decode switches to
+    **checkpoint/recompute**: pass 1 runs the forward WITHOUT materializing
+    backpointers, keeping one [S+1, B] alpha snapshot per chunk; pass 2
+    walks chunks in reverse, recomputing each chunk's forward WITH
+    backpointers from its snapshot and backtracing it immediately, so at
+    most one chunk's bp table is ever resident.  2x forward FLOPs for a
+    T-fold memory cut — the standard rematerialization trade on TPU."""
     b, t_total, _p = loglikes.shape
     nf = jnp.asarray(num_frames, jnp.int32)
     alpha0 = jnp.concatenate(
@@ -383,12 +476,25 @@ def decode_best_path(graph: DenseGraph, plan: EmitPlan, dev: EmitPlanDev,
         loglikes = jnp.concatenate(
             [loglikes, jnp.zeros((b, t_pad - t_total, loglikes.shape[2]),
                                  loglikes.dtype)], axis=1)
-    chunks = []
+    bp_bytes = t_pad * s1 * b * (1 if plan.packed else 2)
+    recompute = bp_bytes > bp_bytes_budget
+
+    chunks = []  # (lo, bps) in keep mode; (lo, alpha_snap) in recompute mode
     for lo in range(0, t_pad, step_t):
-        (alpha, alpha_end), bps = viterbi_scan(
-            dev, alpha, alpha_end, loglikes[:, lo:lo + step_t], nf,
-            jnp.int32(lo), acwt, beam_j, plan.packed, use_beam)
-        chunks.append((lo, bps))
+        if recompute:
+            # snapshot only alpha: alpha_at_end is a pure accumulator (it
+            # never feeds back into the recursion or the backpointers), so
+            # pass 2 can run with a dummy — halves checkpoint residency
+            chunks.append((lo, alpha))
+            (alpha, alpha_end), _ = viterbi_scan(
+                dev, alpha, alpha_end, loglikes[:, lo:lo + step_t], nf,
+                jnp.int32(lo), acwt, beam_j, plan.packed, use_beam,
+                with_bp=False)
+        else:
+            (alpha, alpha_end), bps = viterbi_scan(
+                dev, alpha, alpha_end, loglikes[:, lo:lo + step_t], nf,
+                jnp.int32(lo), acwt, beam_j, plan.packed, use_beam)
+            chunks.append((lo, bps))
 
     # choose end state per utterance on device; fetch only [B]-sized arrays
     nf_np = np.asarray(num_frames)
@@ -404,11 +510,21 @@ def decode_best_path(graph: DenseGraph, plan: EmitPlan, dev: EmitPlanDev,
     d = jnp.int32(plan.d)
     state = end_dev
     code_parts = []
-    for lo, bps in reversed(chunks):
+    for item in reversed(chunks):
+        if recompute:
+            lo, a_snap = item
+            _, bps = viterbi_scan(
+                dev, a_snap, a_snap, loglikes[:, lo:lo + step_t], nf,
+                jnp.int32(lo), acwt, beam_j, plan.packed, use_beam)
+        else:
+            lo, bps = item
         codes_c, state = backtrace_scan(
             dev.row_start, dev.row_src, d, bps, state, nf, jnp.int32(lo))
-        code_parts.append(codes_c)
-    codes_all = np.asarray(jnp.concatenate(code_parts[::-1], axis=0))
+        del bps  # recompute mode: at most one chunk's bp table resident
+        # fetch this chunk's codes now so the buffer chain doesn't pin the
+        # device queue; [W, B] int32 is tiny
+        code_parts.append(np.asarray(codes_c))
+    codes_all = np.concatenate(code_parts[::-1], axis=0)
 
     out = []
     for i in range(b):

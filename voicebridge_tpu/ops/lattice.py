@@ -268,7 +268,7 @@ def _fb_win_backward(fwd_dev: EmitPlanDev, bwd_dev: EmitPlanDev, row_dst,
         am = jnp.take(ll_t, fwd_dev.row_pdf, axis=0) * acwt  # [R, B]
         g = jnp.take(a, fwd_dev.row_src, axis=0).reshape(r, d_w, b) \
             + fwd_dev.row_w[:, :, None]
-        na = value_tree(jnp.max(g, axis=1) + am, fwd_dev.upper, b)
+        na = value_tree(jnp.max(g, axis=1) + am, fwd_dev, b)
         na = jnp.where((t < num_frames)[None, :], na, a)
         tail = am + jnp.take(beta_next, row_dst, axis=0)  # [R, B]
         keep = (g + tail[:, None, :] >= thresh[None, None, :]) & \

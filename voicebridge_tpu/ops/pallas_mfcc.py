@@ -54,7 +54,7 @@ def _dft_tables(ws_pad: int, num_fft_bins: int):
     return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
 
 
-def _mfcc_kernel(frames_ref, win_ref, cos_ref, sin_ref, mel_ref, dct_ref,
+def _mfcc_kernel(frames_ref, win_ref, cos_ref, mel_ref, dct_ref,
                  lift_ref, out_ref, *, ws, remove_dc, preemph, raw_energy,
                  mel_floor, num_ceps, fbank_only, fbank_cols):
     f = frames_ref[:].astype(jnp.float32)  # [TILE_F, WS_pad]
@@ -73,10 +73,12 @@ def _mfcc_kernel(frames_ref, win_ref, cos_ref, sin_ref, mel_ref, dct_ref,
     if not raw_energy:
         energy = jnp.log(
             jnp.maximum(jnp.sum(f * f, axis=1, keepdims=True), FLT_EPS))
-    re = jnp.dot(f, cos_ref[:], preferred_element_type=jnp.float32,
+    # ONE [ws_pad, 2*NB] matmul against cos||sin (two half-width matmuls
+    # leave the MXU under-fed at NB=256)
+    cs = jnp.dot(f, cos_ref[:], preferred_element_type=jnp.float32,
                  precision=jax.lax.Precision.HIGHEST)
-    im = jnp.dot(f, sin_ref[:], preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)
+    nb_fft = cs.shape[1] // 2
+    re, im = cs[:, :nb_fft], cs[:, nb_fft:]
     power = re * re + im * im  # [TILE_F, NB_fft]
     mel = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32,
                  precision=jax.lax.Precision.HIGHEST)
@@ -98,11 +100,12 @@ class MfccPallas:
     ``features.MfccExtractor`` (``fbank=True`` gives log-mel fbank rows)."""
 
     def __init__(self, opts: MfccOptions = MfccOptions(), fbank: bool = False,
-                 interpret: bool = False):
+                 interpret: bool = False, tile_f: int = TILE_F):
         fo = opts.frame_opts
         self.opts = opts
         self.fbank = fbank
         self.interpret = interpret
+        self.tile_f = tile_f
         nb = opts.mel_opts.num_bins
         if not fbank and opts.num_ceps + 1 > OUT_W:
             raise ValueError("num_ceps too large for the fused kernel")
@@ -119,8 +122,8 @@ class MfccPallas:
         win = np.zeros(self.ws_pad, np.float32)
         win[:ws] = feature_window(fo)
         self.window = jnp.asarray(win.reshape(1, -1))
-        self.cos_t = jnp.asarray(cos_t)
-        self.sin_t = jnp.asarray(sin_t)
+        # cos||sin side by side: ONE MXU matmul per tile computes both parts
+        self.cos_t = jnp.asarray(np.concatenate([cos_t, sin_t], axis=1))
         nb_pad = _round_up(nb, 128)
         mel = mel_bank_matrix(nb, fo, opts.mel_opts.low_freq,
                               opts.mel_opts.high_freq).T  # [nfft, nb]
@@ -148,7 +151,7 @@ class MfccPallas:
         """[NF, ws_pad] fully-preprocessed-input frames -> [NF, OUT_W]."""
         opts = self.opts
         nf = frames.shape[0]
-        nf_pad = _round_up(max(nf, 1), TILE_F)
+        nf_pad = _round_up(max(nf, 1), self.tile_f)
         frames = jnp.pad(frames, ((0, nf_pad - nf), (0, 0)))
         kern = functools.partial(
             _mfcc_kernel, ws=self.ws,
@@ -161,15 +164,13 @@ class MfccPallas:
         out = pl.pallas_call(
             kern,
             out_shape=jax.ShapeDtypeStruct((nf_pad, OUT_W), jnp.float32),
-            grid=(nf_pad // TILE_F,),
+            grid=(nf_pad // self.tile_f,),
             in_specs=[
-                pl.BlockSpec((TILE_F, self.ws_pad), lambda i: (i, 0),
+                pl.BlockSpec((self.tile_f, self.ws_pad), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, self.ws_pad), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((self.ws_pad, self.num_fft_bins),
-                             lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((self.ws_pad, self.num_fft_bins),
+                pl.BlockSpec((self.ws_pad, 2 * self.num_fft_bins),
                              lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((self.num_fft_bins, self.nb_pad),
                              lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -178,7 +179,7 @@ class MfccPallas:
                 pl.BlockSpec((1, OUT_W), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((TILE_F, OUT_W), lambda i: (i, 0),
+            out_specs=pl.BlockSpec((self.tile_f, OUT_W), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
             cost_estimate=pl.CostEstimate(
                 flops=2 * nf_pad * self.ws_pad * self.num_fft_bins * 2
@@ -188,7 +189,7 @@ class MfccPallas:
                 transcendentals=nf_pad * (self.nb_pad + 1),
             ),
             interpret=self.interpret,
-        )(frames, self.window, self.cos_t, self.sin_t, self.mel_t,
+        )(frames, self.window, self.cos_t, self.mel_t,
           self.dct_t, self.lift)
         return out[:nf]
 

@@ -100,6 +100,41 @@ def em_estep_sharded(mesh: Mesh, num_states: int, num_pdfs: int, num_tids: int):
     return jax.jit(step)
 
 
+def decode_forward_sharded(mesh: Mesh, packed: bool):
+    """Mesh-sharded decode forward over a replicated HCLG: the production
+    in-degree-row kernel (ops/decode_core.viterbi_scan) with utterances
+    data-parallel in the batch-minor layout (batch is the LAST axis of the
+    ``alpha [S+1, B]`` slabs and of ``bps [T, S+1, B]``), the EmitPlan
+    replicated, and no cross-device communication in the forward itself —
+    the P1 design (SURVEY.md §2.6): each chip advances its own utterances,
+    hypotheses join on the host.
+
+    -> jitted step(dev: EmitPlanDev, alpha, alpha_end, loglikes [B, T, P],
+    num_frames [B], acwt) -> (alpha, alpha_end, bps)."""
+    from jax import shard_map
+
+    from ..ops import decode_core as DC
+
+    rep = P()
+    batch_minor = P(None, DATA_AXIS)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(rep, batch_minor, batch_minor, P(DATA_AXIS), P(DATA_AXIS),
+                  rep),
+        out_specs=(batch_minor, batch_minor, P(None, None, DATA_AXIS)),
+        check_vma=False,
+    )
+    def step(dev, alpha, alpha_end, loglikes, num_frames, acwt):
+        (a, ae), bps = DC.viterbi_scan(
+            dev, alpha, alpha_end, loglikes, num_frames, jnp.int32(0),
+            acwt, jnp.float32(0.0), packed, False)
+        return a, ae, bps
+
+    return jax.jit(step)
+
+
 def em_estep_sharded_banded(mesh: Mesh, num_pdfs: int, num_tids: int,
                             offsets: tuple):
     """Banded-kernel variant of :func:`em_estep_sharded` — the production
