@@ -214,8 +214,8 @@ def run_real_graph_config(mode: str, b: int, t: int):
     from tools.bench_real_graph import bench, load_or_build, make_decoder
 
     hclg, tm, tree, _lang = load_or_build()
-    decoder, _am, dim = make_decoder(hclg, tm, tree)
-    v = bench(decoder, dim, b, t, mode, iters=3)
+    decoder, am, dim = make_decoder(hclg, tm, tree)
+    v = bench(decoder, dim, b, t, mode, iters=3, am=am)
     print(json.dumps({
         "metric": f"real_hclg_{mode}_audio_seconds_per_sec_1chip",
         "value": round(v, 2), "unit": "audio-s/s",

@@ -274,3 +274,54 @@ class TestRowsFbParity:
             want = set(zip(lat_old.arc_t.tolist(), lat_old.arc_id.tolist()))
             assert got == want
             assert lat_new.use_final == lat_old.use_final
+
+
+class TestSparseMaskFetch:
+    def test_sparse_matches_packed(self, tiny):
+        """Bounded-budget sparse survivor fetch must reproduce the dense
+        packed-mask lattices exactly when the budget is not exceeded."""
+        from voicebridge_tpu.lat import (build_lattices_packed,
+                                         build_lattices_sparse)
+        from voicebridge_tpu.ops.decode_core import (build_emit_plan,
+                                                     plan_to_device)
+
+        g, ll_np, acwt = tiny["g"], tiny["ll"], tiny["acwt"]
+        plan, fwd_dev, bwd_dev, row_dst = LAT.build_lattice_plans(g)
+        ll = jnp.asarray(ll_np)
+        nf = tiny["nf"]
+        nbytes = -(-plan.num_rows * plan.d // 8)
+        packed, _b1, _a1, uf1 = LAT.lattice_forward_backward_rows(
+            g, plan, fwd_dev, bwd_dev, row_dst, ll, nf,
+            acoustic_scale=acwt, lattice_beam=5.0, window=4)
+        dense = build_lattices_packed(g, plan.row_arc, packed,
+                                      ll_np, nf, uf1)
+        sparse, _b2, _a2, uf2 = LAT.lattice_forward_backward_rows(
+            g, plan, fwd_dev, bwd_dev, row_dst, ll, nf,
+            acoustic_scale=acwt, lattice_beam=5.0, window=4,
+            mask_budget=64)
+        lats = build_lattices_sparse(g, plan.row_arc, sparse, nbytes,
+                                     ll_np, nf, uf2)
+        assert (uf1 == uf2).all()
+        for a, c in zip(dense, lats):
+            np.testing.assert_array_equal(a.arc_t, c.arc_t)
+            np.testing.assert_array_equal(a.arc_id, c.arc_id)
+            np.testing.assert_allclose(a.acoustic_cost, c.acoustic_cost,
+                                       atol=1e-5)
+
+    def test_budget_overflow_clips_and_warns(self, tiny):
+        """count > budget reports the clip and keeps the first K bytes."""
+        from voicebridge_tpu.lat import build_lattices_sparse
+
+        g, ll_np, acwt = tiny["g"], tiny["ll"], tiny["acwt"]
+        plan, fwd_dev, bwd_dev, row_dst = LAT.build_lattice_plans(g)
+        nbytes = -(-plan.num_rows * plan.d // 8)
+        sparse, _b, _a, uf = LAT.lattice_forward_backward_rows(
+            g, plan, fwd_dev, bwd_dev, row_dst, jnp.asarray(ll_np),
+            tiny["nf"], acoustic_scale=acwt, lattice_beam=1e6, window=4,
+            mask_budget=1)  # absurd beam + tiny budget forces overflow
+        clips = []
+        lats = build_lattices_sparse(
+            g, plan.row_arc, sparse, nbytes, ll_np, tiny["nf"], uf,
+            log_warn=lambda *a: clips.append(a))
+        assert clips, "expected at least one clipped window"
+        assert all(l.num_arcs >= 0 for l in lats)

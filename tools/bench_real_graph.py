@@ -99,10 +99,34 @@ def make_decoder(hclg, tm, tree, lattice_beam: float = 8.0):
                    DecodeOptions(lattice_beam=lattice_beam)), am, d
 
 
-def bench(decoder, dim: int, b: int, t: int, mode: str, iters: int = 3):
+def model_feats(am, b: int, t: int, rng) -> np.ndarray:
+    """Model-consistent features: a persistent random pdf walk emitting from
+    each pdf's first mixture.  Random N(0,1) features give FLAT acoustic
+    scores, so a lattice beam keeps ~every arc (measured 1.1M arcs/lattice)
+    — nothing like a real decode; emission-sampled features produce peaked
+    loglikes and realistic lattice density while the dense forward cost is
+    identical."""
+    means = am.means()[:, 0, :]  # [P, D]
+    sigma = 1.0 / np.sqrt(am.inv_vars[:, 0, :])
+    p, d = means.shape
+    # persistent walk: expected dwell ~5 frames (HMM-ish)
+    jump = rng.random((b, t)) < 0.2
+    jump[:, 0] = True
+    draws = rng.integers(0, p, size=(b, t))
+    idx = np.where(jump, draws, 0)
+    path = np.maximum.accumulate(np.where(jump, np.arange(t)[None, :], 0),
+                                 axis=1)
+    pdfs = np.take_along_axis(idx, path, axis=1)  # last jump's draw
+    eps = rng.standard_normal((b, t, d)).astype(np.float32)
+    return (means[pdfs] + 0.7 * sigma[pdfs] * eps).astype(np.float32)
+
+
+def bench(decoder, dim: int, b: int, t: int, mode: str, iters: int = 3,
+          am=None):
     """-> audio-s/s for `mode` in {best_path, lattice}."""
     rng = np.random.default_rng(2)
-    feats = rng.standard_normal((b, t, dim)).astype(np.float32)
+    feats = (model_feats(am, b, t, rng) if am is not None
+             else rng.standard_normal((b, t, dim)).astype(np.float32))
     nf = np.full(b, t, np.int32)
     utts = [f"u{i}" for i in range(b)]
 
@@ -150,7 +174,7 @@ def main(argv=None):
     for mode in args.modes.split(","):
         b = args.batch if mode == "best_path" else args.lattice_batch
         t = args.frames if mode == "best_path" else args.lattice_frames
-        v = bench(decoder, dim, b, t, mode, args.iters)
+        v = bench(decoder, dim, b, t, mode, args.iters, am=am)
         rec[mode] = {"audio_s_per_s": round(v, 1), "batch": b, "frames": t}
         print(json.dumps({mode: rec[mode]}), flush=True)
     if args.json_out:

@@ -144,6 +144,64 @@ def build_lattices(graph: DenseGraph, mask: np.ndarray, ll: np.ndarray,
     return out
 
 
+def build_lattices_sparse(graph: DenseGraph, row_arc: np.ndarray,
+                          sparse: list, nbytes: int, ll: np.ndarray,
+                          num_frames, use_final: np.ndarray,
+                          log_warn=None) -> list["Lattice"]:
+    """Assemble lattices from the SPARSE survivor-byte fetch of
+    ``lattice_forward_backward_rows(mask_budget=...)``: per window,
+    ``(t0, idx [K, B], val [K, B], count [B])`` with idx = flat positions
+    ``t_local * nbytes + byte`` (-1 pad).  Same expansion math as
+    :func:`build_lattices_packed`; a window whose nonzero-byte count
+    exceeded the budget K is clipped (latest frames dropped) and reported
+    via ``log_warn(utt_index, window_t0, count, budget)``."""
+    row_arc_flat = row_arc.reshape(-1)
+    n_pos = len(row_arc_flat)
+    b = sparse[0][3].shape[0] if sparse else 0
+    out = []
+    for i in range(b):
+        nf = int(num_frames[i])
+        ts_parts, byte_parts, val_parts = [], [], []
+        for t0, idx, val, count in sparse:
+            budget = idx.shape[0]
+            c = int(count[i])
+            if c > budget:
+                if log_warn is not None:
+                    log_warn(i, int(t0), c, budget)
+                c = budget
+            if c == 0:
+                continue
+            pos = idx[:c, i].astype(np.int64)
+            ts_parts.append(t0 + pos // nbytes)
+            byte_parts.append(pos % nbytes)
+            val_parts.append(val[:c, i])
+        if not ts_parts:
+            out.append(Lattice(graph=graph, nf=nf,
+                               arc_t=np.zeros(0, np.int32),
+                               arc_id=np.zeros(0, np.int32),
+                               acoustic_cost=np.zeros(0, np.float32),
+                               use_final=bool(use_final[i])))
+            continue
+        ts_b = np.concatenate(ts_parts)
+        bytes_b = np.concatenate(byte_parts)
+        vals = np.concatenate(val_parts)
+        inside = ts_b < nf
+        ts_b, bytes_b, vals = ts_b[inside], bytes_b[inside], vals[inside]
+        bits = np.unpackbits(vals[:, None], axis=1)  # [n, 8]
+        pos = bytes_b[:, None] * 8 + np.arange(8)[None, :]
+        keep = (bits == 1) & (pos < n_pos)
+        ts = np.repeat(ts_b, 8).reshape(-1, 8)[keep].astype(np.int32)
+        arcs = row_arc_flat[pos[keep]]
+        ok = arcs >= 0
+        ts, arcs = ts[ok], arcs[ok].astype(np.int32)
+        order = np.argsort(ts, kind="stable")
+        ts, arcs = ts[order], arcs[order]
+        ac = -ll[i, ts, graph.arc_pdf[arcs]].astype(np.float32)
+        out.append(Lattice(graph=graph, nf=nf, arc_t=ts, arc_id=arcs,
+                           acoustic_cost=ac, use_final=bool(use_final[i])))
+    return out
+
+
 def build_lattices_packed(graph: DenseGraph, row_arc: np.ndarray,
                           packed: np.ndarray, ll: np.ndarray, num_frames,
                           use_final: np.ndarray) -> list[Lattice]:

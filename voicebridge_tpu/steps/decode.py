@@ -176,8 +176,15 @@ class Decoder:
         batch-minor row-based forward-backward (ops/lattice.py
         ``lattice_forward_backward_rows``); arcs whose best complete path is
         within ``lattice_beam`` of the global best survive.  Returns
-        {utt: Lattice} with graph/acoustic costs stored separately."""
-        from ..lat import build_lattices_packed
+        {utt: Lattice} with graph/acoustic costs stored separately.
+
+        Survivor masks come back via the bounded-budget sparse fetch
+        (ops/lattice._sparsify_bytes): typically well under 1% of mask
+        bytes are nonzero on real HCLGs, so the dense fetch would move
+        ~825 MB of near-zeros per 16-utterance chunk at T=1000 on a
+        90k-state graph.  A chunk whose survivor count ever exceeds the
+        budget is transparently refetched dense (exact, no clipping)."""
+        from ..lat import build_lattices_packed, build_lattices_sparse
         from ..ops import lattice as LAT
 
         acwt = self.opts.acoustic_scale if acoustic_scale is None else acoustic_scale
@@ -221,13 +228,38 @@ class Decoder:
                 nf = np.concatenate(
                     [nf, np.zeros(b_chunk - real, nf.dtype)])
             ll = self._loglikes(jnp.asarray(f))
-            packed, _best, _aend, use_final = \
+            # nonzero-byte budget per (window, utt): ~1024 bytes/frame is
+            # >2x the worst window measured at lattice_beam 8 on the
+            # 90k-state bench graph with peaked-but-graph-inconsistent
+            # acoustics (counts 6-24k at window 16); real decodes sit far
+            # below.  Overflow falls back to the exact dense fetch for the
+            # whole chunk, so lattices are NEVER clipped on this path.
+            budget = window * 1024
+            sparse, _best, _aend, use_final = \
                 LAT.lattice_forward_backward_rows(
                     g, self.plan, fwd_dev, bwd_dev, row_dst, ll, nf,
                     acoustic_scale=acwt,
-                    lattice_beam=self.opts.lattice_beam, window=window)
-            lats = build_lattices_packed(g, self.plan.row_arc, packed,
-                                         np.asarray(ll), nf, use_final)
+                    lattice_beam=self.opts.lattice_beam, window=window,
+                    mask_budget=budget)
+
+            clips = []
+            lats = build_lattices_sparse(
+                g, self.plan.row_arc, sparse, nbytes, np.asarray(ll), nf,
+                use_final, log_warn=lambda *a: clips.append(a))
+            if clips:
+                # rare (measured ~0.1% of windows at this budget): redo the
+                # chunk with the dense mask fetch — exactness over speed
+                log.info(
+                    "decode_lattice: chunk %d: %d window(s) over the sparse "
+                    "budget (worst %d > %d); refetching dense", ci + 1,
+                    len(clips), max(c[2] for c in clips), window * 1024)
+                packed, _best, _aend, use_final = \
+                    LAT.lattice_forward_backward_rows(
+                        g, self.plan, fwd_dev, bwd_dev, row_dst, ll, nf,
+                        acoustic_scale=acwt,
+                        lattice_beam=self.opts.lattice_beam, window=window)
+                lats = build_lattices_packed(g, self.plan.row_arc, packed,
+                                             np.asarray(ll), nf, use_final)
             out.update(zip(utts[lo:hi], lats[:real]))
             if ci == 0 or (ci + 1) % 8 == 0 or ci + 1 == n_chunks:
                 log.info("decode_lattice: chunk %d/%d (%d utts) done",
