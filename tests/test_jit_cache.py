@@ -46,7 +46,7 @@ def test_bucket_shapes():
     assert p2 is f2
 
 
-def _tiny_decoder():
+def _tiny_decoder(opts=None):
     from voicebridge_tpu.config import DecodeOptions, LangOptions
     from voicebridge_tpu.data.lang import prepare_lang
     from voicebridge_tpu.fst.hclg import mkgraph
@@ -69,7 +69,8 @@ def _tiny_decoder():
                    (np.abs(rng.standard_normal((p, m, d))) + 0.5).astype(
                        np.float32),
                    np.full((p, m), 1.0 / m, np.float32))
-    return Decoder(hclg, tm, am, DecodeOptions(lattice_beam=6.0)), d
+    return Decoder(hclg, tm, am,
+                   opts or DecodeOptions(lattice_beam=6.0)), d
 
 
 def test_lattice_window_model():
@@ -107,3 +108,24 @@ def test_decode_lattice_no_recompile_across_lengths():
         "varying T/B recompiled the lattice forward window"
     assert LAT._fb_win_backward._cache_size() == b0, \
         "varying T/B recompiled the lattice backward window"
+
+
+def test_lattice_mem_budget_chunks_invariant():
+    """lattice_mem_budget only changes the sub-batch size, never the
+    lattices: a tiny budget (b_chunk=2 floor) must reproduce the default
+    budget's arcs exactly."""
+    from voicebridge_tpu.config import DecodeOptions
+
+    dec, dim = _tiny_decoder()
+    small, _ = _tiny_decoder(
+        DecodeOptions(lattice_beam=6.0, lattice_mem_budget=1.0))
+    rng = np.random.default_rng(3)
+    b, t = 5, 100
+    feats = rng.standard_normal((b, t, dim)).astype(np.float32)
+    nf = np.full(b, t, np.int32)
+    utts = [f"u{i}" for i in range(b)]
+    a = dec.decode_lattice(utts, feats, nf)
+    c = small.decode_lattice(utts, feats, nf)
+    for u in utts:
+        np.testing.assert_array_equal(a[u].arc_t, c[u].arc_t)
+        np.testing.assert_array_equal(a[u].arc_id, c[u].arc_id)

@@ -84,7 +84,8 @@ def load_or_build(num_sentences: int = 1200, seed: int = 0):
     return hclg, tm2, tree2, lang2
 
 
-def make_decoder(hclg, tm, tree, lattice_beam: float = 8.0):
+def make_decoder(hclg, tm, tree, lattice_beam: float = 8.0,
+                 mem_budget: float | None = None):
     from voicebridge_tpu.config import DecodeOptions
     from voicebridge_tpu.models.gmm import AmDiagGmm
     from voicebridge_tpu.steps.decode import Decoder
@@ -95,8 +96,10 @@ def make_decoder(hclg, tm, tree, lattice_beam: float = 8.0):
         rng.standard_normal((p, m, d)).astype(np.float32),
         (np.abs(rng.standard_normal((p, m, d))) + 0.5).astype(np.float32),
         np.full((p, m), 1.0 / m, np.float32))
-    return Decoder(hclg, tm, am,
-                   DecodeOptions(lattice_beam=lattice_beam)), am, d
+    opts = (DecodeOptions(lattice_beam=lattice_beam,
+                          lattice_mem_budget=mem_budget)
+            if mem_budget else DecodeOptions(lattice_beam=lattice_beam))
+    return Decoder(hclg, tm, am, opts), am, d
 
 
 def model_feats(am, b: int, t: int, rng) -> np.ndarray:
@@ -153,6 +156,8 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=1000)
     ap.add_argument("--lattice-batch", type=int, default=128)
     ap.add_argument("--lattice-frames", type=int, default=1000)
+    ap.add_argument("--mem-budget", type=float, default=None,
+                    help="lattice_mem_budget override (bytes)")
     ap.add_argument("--sentences", type=int, default=1200)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--modes", default="best_path,lattice")
@@ -162,7 +167,8 @@ def main(argv=None):
     t0 = time.time()
     hclg, tm, tree, lang = load_or_build(args.sentences)
     print(f"graph ready in {time.time() - t0:.0f}s", flush=True)
-    decoder, am, dim = make_decoder(hclg, tm, tree)
+    decoder, am, dim = make_decoder(hclg, tm, tree,
+                                    mem_budget=args.mem_budget)
     rec = {
         "graph": {"states": hclg.num_states,
                   "arcs_eps_free": decoder.graph.num_arcs,

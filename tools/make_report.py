@@ -22,6 +22,8 @@ def main():
     ap.add_argument("runs", nargs="+", help="LABEL=path/report.json")
     ap.add_argument("--bench", default=None)
     ap.add_argument("--real-graph", default=None)
+    ap.add_argument("--notes", default=None,
+                    help="markdown file appended verbatim (analysis)")
     ap.add_argument("--out", default="REPORT.md")
     args = ap.parse_args()
 
@@ -73,17 +75,22 @@ def main():
         lines.append(f"| {k} | " + " | ".join(cells) + " |")
     lines += [""]
     for lbl, rep in runs:
-        snr = rep.get("snr_db", "?")
+        snr = rep.get("snr_db")
+        if snr is None:
+            snr = 30.0  # pre-knob runs used the default clean condition
         lines += [
             f"### {lbl} (SNR {snr} dB) — per-stage wall time / throughput",
             "",
             "| stage | wall s | audio-s/s |",
             "|---|---|---|",
         ]
-        for st in rep["stages"]:
+        stages = rep["stages"]
+        items = (stages.items() if isinstance(stages, dict)
+                 else ((st["name"], st) for st in stages))
+        for name, st in items:
             aps = (f"{st['audio_s'] / st['wall_s']:.1f}"
                    if st.get("audio_s") else "—")
-            lines.append(f"| {st['name']} | {st['wall_s']:.1f} | {aps} |")
+            lines.append(f"| {name} | {st['wall_s']:.1f} | {aps} |")
         lines += ["", f"Total wall: **{rep['wall_s']:.0f}s** "
                   f"(reference: ~25 min for its smaller real corpus).", ""]
     if bench:
@@ -120,6 +127,8 @@ def main():
                     f"- {mode}: **{m['audio_s_per_s']} audio-s/s** at "
                     f"batch {m['batch']} × {m['frames']} frames")
         lines.append("")
+    if args.notes and Path(args.notes).exists():
+        lines += [Path(args.notes).read_text().rstrip(), ""]
     Path(args.out).write_text("\n".join(lines) + "\n")
     print(f"wrote {args.out}")
 

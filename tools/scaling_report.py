@@ -147,25 +147,39 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=str(REPO / "SCALING.md"))
     ap.add_argument("--sizes", default="1,2,4,8")
+    ap.add_argument("--bench", default=str(REPO / "bench_out_r3.json"),
+                    help="bench.py output JSON (real-chip absolute numbers)")
+    ap.add_argument("--rows-cache", default=None,
+                    help="read/write the virtual-mesh rows here (lets the "
+                    "CPU table and the real-chip bench run at different "
+                    "times without repeating either)")
     args = ap.parse_args()
 
     rows = []
-    for n in [int(x) for x in args.sizes.split(",")]:
-        env = dict(os.environ, VB_SCALING_CHILD=str(n))
-        proc = subprocess.run(
-            [sys.executable, "-u", os.path.abspath(__file__)], env=env,
-            capture_output=True, text=True, timeout=1800)
-        line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
-        if not line:
-            print(f"mesh size {n} failed:\n{proc.stderr[-2000:]}",
-                  file=sys.stderr)
-            sys.exit(1)
-        rec = json.loads(line[-1])
-        rows.append(rec)
-        print(rec, flush=True)
+    if args.rows_cache and Path(args.rows_cache).exists():
+        rows = [json.loads(l) for l in
+                Path(args.rows_cache).read_text().splitlines() if l]
+        print(f"loaded {len(rows)} cached mesh rows", flush=True)
+    if not rows:
+        for n in [int(x) for x in args.sizes.split(",")]:
+            env = dict(os.environ, VB_SCALING_CHILD=str(n))
+            proc = subprocess.run(
+                [sys.executable, "-u", os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True, timeout=1800)
+            line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+            if not line:
+                print(f"mesh size {n} failed:\n{proc.stderr[-2000:]}",
+                      file=sys.stderr)
+                sys.exit(1)
+            rec = json.loads(line[-1])
+            rows.append(rec)
+            print(rec, flush=True)
+        if args.rows_cache:
+            Path(args.rows_cache).write_text(
+                "\n".join(json.dumps(r) for r in rows) + "\n")
 
     base = rows[0]
-    bench_path = REPO / "bench_out_r2.json"
+    bench_path = Path(args.bench)
     real = None
     if bench_path.exists():
         for l in bench_path.read_text().splitlines():
@@ -196,9 +210,16 @@ def main() -> None:
         if tr:
             lines += [f"- train EM: **{tr} audio-s/s** at "
                       f"{real.get('train_config')}"]
+        for key, label in (
+                ("real_hclg_best_path", "real-HCLG decode (best path)"),
+                ("real_hclg_lattice", "real-HCLG decode (lattice)")):
+            v = real.get(f"{key}_audio_seconds_per_sec_1chip")
+            if v:
+                lines += [f"- {label}: **{v} audio-s/s** at "
+                          f"{real.get(f'{key}_config')}"]
     else:
-        lines += ["- (bench_out_r2.json missing or degraded; see "
-                  "BENCH_r02.json from the driver)"]
+        lines += [f"- ({bench_path.name} missing or degraded; see the "
+                  "driver's BENCH_r*.json)"]
     lines += [
         "",
         "## Virtual mesh weak scaling (CPU devices, per-device batch fixed)",

@@ -253,6 +253,15 @@ class DecodeOptions:
     min_lmwt: int = 7
     max_lmwt: int = 17
     word_ins_penalties: tuple = (0.0, 0.5, 1.0)
+    # Device-memory budget (bytes) for the lattice FB working set; sets the
+    # per-dispatch sub-batch (fuller 128-lane rows, until HBM/the worker
+    # gives out).  Measured round 3 on the 90k-state bench graph at
+    # B=128/T=1000 with worst-case-density features: 1.05 GB (sub-batch 32)
+    # ran 3.5 audio-s/s vs 640 MB (sub-batch 16) at 4.9 — the larger
+    # working set lost more to sparse-budget overflows refetching dense
+    # than it gained in lane fill, so 640 MB stays the default even where
+    # HBM allows more.
+    lattice_mem_budget: float = 640e6
 
 
 @dataclass(frozen=True)

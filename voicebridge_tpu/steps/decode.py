@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import time
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -212,7 +214,7 @@ class Decoder:
         dev_per_utt = (4.0 * s1 * (window + t_pad // window)
                        + 4.0 * t_pad * self.params.gconsts.shape[0]
                        + 2.0 * window * nbytes)
-        n = max(2, min(64, 640e6 / dev_per_utt))
+        n = max(2, min(64, self.opts.lattice_mem_budget / dev_per_utt))
         # power-of-two sub-batch: arbitrary b_chunk values would compile one
         # window program per distinct (graph, B) pair
         b_chunk = 1 << int(np.log2(n))
@@ -227,6 +229,7 @@ class Decoder:
                     [f, np.zeros((b_chunk - real,) + f.shape[1:], f.dtype)])
                 nf = np.concatenate(
                     [nf, np.zeros(b_chunk - real, nf.dtype)])
+            t_fb0 = time.perf_counter()
             ll = self._loglikes(jnp.asarray(f))
             # nonzero-byte budget per (window, utt): ~1024 bytes/frame is
             # >2x the worst window measured at lattice_beam 8 on the
@@ -242,10 +245,14 @@ class Decoder:
                     lattice_beam=self.opts.lattice_beam, window=window,
                     mask_budget=budget)
 
+            t_fb = time.perf_counter() - t_fb0
             clips = []
             lats = build_lattices_sparse(
                 g, self.plan.row_arc, sparse, nbytes, np.asarray(ll), nf,
                 use_final, log_warn=lambda *a: clips.append(a))
+            log.debug("decode_lattice: chunk %d fb+fetch %.2fs assembly "
+                      "%.2fs", ci + 1, t_fb,
+                      time.perf_counter() - t_fb0 - t_fb)
             if clips:
                 # rare (measured ~0.1% of windows at this budget): redo the
                 # chunk with the dense mask fetch — exactness over speed
@@ -275,6 +282,14 @@ class Decoder:
         (LMWT, WIP) grid point rescale + add word-insertion penalty + best
         path on the host (``lattice-scale`` -> ``lattice-add-penalty`` ->
         ``lattice-best-path``) — no re-decode.
+
+        The grid sweep is vectorized over all 33 grid points inside ONE
+        host pass per utterance (lat.lattice_best_path_grid); the remaining
+        per-utterance host loop measured ~28% of decode-stage wall at 179
+        utts in the round-3 full-scale run — the device FB dominates, so
+        the sweep is not threaded (the reference threads it,
+        score_kaldi_wer.cpp:93-111, because its per-point best path is a
+        full lattice pass).
 
         Returns ({(lmwt, wip): [DecodeResult]}, {utt: Lattice})."""
         from ..lat import lattice_best_path_grid
