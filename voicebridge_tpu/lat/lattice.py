@@ -395,7 +395,10 @@ def lattice_to_post(lat: Lattice, acoustic_scale: float = 1.0,
         np.minimum.at(new, sa, cand)
         m = new[sa]
         acc = np.zeros(k)
-        np.add.at(acc, sa, np.exp(-(cand - m)))
+        # dead arcs (cand = inf, so m = inf too) would make inf - inf = nan
+        # inside exp and spray RuntimeWarnings; they contribute 0 regardless
+        live = np.isfinite(cand)
+        np.add.at(acc, sa[live], np.exp(-(cand[live] - m[live])))
         betas_next = np.where(np.isfinite(new),
                               new - np.log(np.maximum(acc, 1e-300)), inf)
 
