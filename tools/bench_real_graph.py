@@ -124,12 +124,44 @@ def model_feats(am, b: int, t: int, rng) -> np.ndarray:
     return (means[pdfs] + 0.7 * sigma[pdfs] * eps).astype(np.float32)
 
 
+def graph_walk_feats(graph, am, b: int, t: int, rng) -> np.ndarray:
+    """Corpus-realistic features: emitted along ACTUAL paths through the
+    compiled eps-free decode graph (random walk over outgoing arcs from a
+    start state).  Acoustics consistent with one graph path give peaked
+    posteriors concentrated on lattice-beam-plausible alternatives — the
+    density a real decode sees — unlike `model_feats`, whose pdf walk
+    ignores the graph and yields worst-case ~200k-arc lattices."""
+    order = np.argsort(graph.arc_src, kind="stable")
+    src_sorted = graph.arc_src[order]
+    out_start = np.searchsorted(src_sorted, np.arange(graph.num_states + 1))
+    starts = np.flatnonzero(graph.alpha0 > -1e29)
+    means = am.means()[:, 0, :]
+    sigma = 1.0 / np.sqrt(am.inv_vars[:, 0, :])
+    pdfs = np.zeros((b, t), np.int64)
+    for i in range(b):
+        s = int(starts[rng.integers(len(starts))])
+        for j in range(t):
+            lo, hi = int(out_start[s]), int(out_start[s + 1])
+            if hi == lo:  # final dead-end: restart the walk
+                s = int(starts[rng.integers(len(starts))])
+                lo, hi = int(out_start[s]), int(out_start[s + 1])
+            a = int(order[lo + rng.integers(hi - lo)])
+            pdfs[i, j] = graph.arc_pdf[a]
+            s = int(graph.arc_dst[a])
+    eps = rng.standard_normal((b, t, means.shape[1])).astype(np.float32)
+    return (means[pdfs] + 0.7 * sigma[pdfs] * eps).astype(np.float32)
+
+
 def bench(decoder, dim: int, b: int, t: int, mode: str, iters: int = 3,
           am=None):
-    """-> audio-s/s for `mode` in {best_path, lattice}."""
+    """-> audio-s/s for `mode` in {best_path, lattice, lattice_real}."""
     rng = np.random.default_rng(2)
-    feats = (model_feats(am, b, t, rng) if am is not None
-             else rng.standard_normal((b, t, dim)).astype(np.float32))
+    if mode == "lattice_real":
+        feats = graph_walk_feats(decoder.graph, am, b, t, rng)
+    elif am is not None:
+        feats = model_feats(am, b, t, rng)
+    else:
+        feats = rng.standard_normal((b, t, dim)).astype(np.float32)
     nf = np.full(b, t, np.int32)
     utts = [f"u{i}" for i in range(b)]
 
