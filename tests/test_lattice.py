@@ -261,9 +261,9 @@ class TestRowsFbParity:
         from voicebridge_tpu.lat import build_lattices_packed
 
         g, ll, nf = tiny["g"], tiny["ll"], tiny["nf"]
-        plan, fwd_dev, bwd_dev, row_dst = LAT.build_lattice_plans(g)
+        plan, fwd_dev, bwd_plan, bwd_dev, row_dst = LAT.build_lattice_plans(g)
         packed, best, aend, use_final = LAT.lattice_forward_backward_rows(
-            g, plan, fwd_dev, bwd_dev, row_dst, jnp.asarray(ll), nf,
+            g, plan, fwd_dev, bwd_plan, bwd_dev, row_dst, jnp.asarray(ll), nf,
             acoustic_scale=tiny["acwt"], lattice_beam=tiny["lbeam"],
             window=4)
         np.testing.assert_allclose(best, tiny["best"], atol=1e-3)
@@ -286,17 +286,17 @@ class TestSparseMaskFetch:
                                                      plan_to_device)
 
         g, ll_np, acwt = tiny["g"], tiny["ll"], tiny["acwt"]
-        plan, fwd_dev, bwd_dev, row_dst = LAT.build_lattice_plans(g)
+        plan, fwd_dev, bwd_plan, bwd_dev, row_dst = LAT.build_lattice_plans(g)
         ll = jnp.asarray(ll_np)
         nf = tiny["nf"]
         nbytes = -(-plan.num_rows * plan.d // 8)
         packed, _b1, _a1, uf1 = LAT.lattice_forward_backward_rows(
-            g, plan, fwd_dev, bwd_dev, row_dst, ll, nf,
+            g, plan, fwd_dev, bwd_plan, bwd_dev, row_dst, ll, nf,
             acoustic_scale=acwt, lattice_beam=5.0, window=4)
         dense = build_lattices_packed(g, plan.row_arc, packed,
                                       ll_np, nf, uf1)
         sparse, _b2, _a2, uf2 = LAT.lattice_forward_backward_rows(
-            g, plan, fwd_dev, bwd_dev, row_dst, ll, nf,
+            g, plan, fwd_dev, bwd_plan, bwd_dev, row_dst, ll, nf,
             acoustic_scale=acwt, lattice_beam=5.0, window=4,
             mask_budget=64)
         lats = build_lattices_sparse(g, plan.row_arc, sparse, nbytes,
@@ -313,10 +313,10 @@ class TestSparseMaskFetch:
         from voicebridge_tpu.lat import build_lattices_sparse
 
         g, ll_np, acwt = tiny["g"], tiny["ll"], tiny["acwt"]
-        plan, fwd_dev, bwd_dev, row_dst = LAT.build_lattice_plans(g)
+        plan, fwd_dev, bwd_plan, bwd_dev, row_dst = LAT.build_lattice_plans(g)
         nbytes = -(-plan.num_rows * plan.d // 8)
         sparse, _b, _a, uf = LAT.lattice_forward_backward_rows(
-            g, plan, fwd_dev, bwd_dev, row_dst, jnp.asarray(ll_np),
+            g, plan, fwd_dev, bwd_plan, bwd_dev, row_dst, jnp.asarray(ll_np),
             tiny["nf"], acoustic_scale=acwt, lattice_beam=1e6, window=4,
             mask_budget=1)  # absurd beam + tiny budget forces overflow
         clips = []

@@ -60,7 +60,7 @@ def main(b=32, t=1000, num_states=60_000, chunk=500):
     plan = DC.build_emit_plan(graph, d=8)
     dev = DC.plan_to_device(plan)
     print(f"B={b} T={t} S={num_states} R={plan.num_rows} D={plan.d} "
-          f"lvl1={plan.lvl1.shape} hubs={plan.hub_idx.shape} packed={plan.packed}")
+          f"packed={plan.packed}")
     feats = jnp.asarray(rng.standard_normal((b, t, dim)), jnp.float32)
     num_frames = np.full((b,), t, np.int32)
     nf = jnp.asarray(num_frames)
@@ -82,7 +82,7 @@ def main(b=32, t=1000, num_states=60_000, chunk=500):
         for lo in range(0, t, chunk):
             (a, ae), bps = DC.viterbi_scan(
                 dev, a, ae, ll[:, lo:lo + chunk], nf, jnp.int32(lo),
-                jnp.float32(1 / 13.0), jnp.float32(0.0), plan.packed, False)
+                jnp.float32(1 / 13.0), jnp.float32(0.0), plan.rspec, plan.packed, False)
             outs.append(bps)
         return outs
 

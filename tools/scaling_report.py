@@ -81,7 +81,8 @@ def child(n: int) -> None:
 
     s1 = plan.num_states + 1
     alpha0_j = jnp.concatenate(
-        [jnp.asarray(graph.alpha0), jnp.full((1,), V.NEG_INF, jnp.float32)])
+        [jnp.asarray(graph.alpha0[plan.sperm[:-1]]),
+         jnp.full((1,), V.NEG_INF, jnp.float32)])
     alpha = jax.device_put(
         np.broadcast_to(np.asarray(alpha0_j)[:, None], (s1, b)).copy(),
         NamedSharding(mesh, P(None, M.DATA_AXIS)))
@@ -92,7 +93,7 @@ def child(n: int) -> None:
         ll = K.loglikes_batch(params, feats)
         (a, ae), bps = DC.viterbi_scan(
             dev, alpha, ae0, ll, nf, jnp.int32(0), jnp.float32(0.1),
-            jnp.float32(0.0), plan.packed, False)
+            jnp.float32(0.0), plan.rspec, plan.packed, False)
         jax.block_until_ready((a, ae))
 
     decode_once()

@@ -4,7 +4,7 @@ Replaces the token-passing hot loop of the reference decoder
 (``LatticeFasterDecoder::Decode``/``ProcessEmitting``,
 ``kaldi-master/src/decoder/lattice-faster-decoder.cc:72-89``) with a dense
 arc-parallel relaxation designed around what is actually fast on TPU
-(measured, tools/exp_decode_variants.py):
+(measured, tools/exp_decode_variants.py, tools/profile_real_decode.py):
 
 * **Batch-minor layout** ``alpha[S, B]``: every gather of a source state's
   scores is a *row* gather (``B`` contiguous floats), which XLA:TPU lowers to
@@ -17,12 +17,24 @@ arc-parallel relaxation designed around what is actually fast on TPU
   value per row instead of one per arc.  Real HCLG graphs built with
   reorder-style self-loops (``fst/hmm_graph.py add_self_loops``) have the
   "all arcs entering a state share one pdf" property, so rows pack densely.
+* **Bucketed, gather-free row->state reduction**: XLA:TPU dynamic gathers
+  cost ~4-5 cycles per row regardless of row width, so the round-3 design —
+  a 3-stage gather tree (lvl1 chunks -> hub wide-reduce -> final merge) —
+  spent ~1M gathers/frame on the reduction versus ~0.5M on the actual arc
+  relaxation (measured 7.1 ms/frame values-only on the 90k-state real HCLG,
+  B=128).  Round 4 removes the tree entirely: states are RENUMBERED so that
+  states with the same (bucketed) row count are contiguous, every state owns
+  exactly ``bucket`` row slots (dead rows pad), and the per-state max is a
+  pure ``reshape(n, c, B).max(axis=1)`` per bucket — zero gathers.  Bucket
+  sizes grow by ~1.5x, bounding dead-row overhead at ~33% of rows (real
+  HCLGs: <10%, since ~85% of states have exactly one row and LM-backoff
+  hubs are few).
 * **One fused scan** over all frames per dispatch (no per-window Python
   dispatch).  Backpointers are ONE integer per state per frame: the winner
-  code ``rowloc * D + slot`` (uint8 when ``max_rows_per_state * D <= 256``,
-  int16/int32 otherwise).  Winners propagate through the reduction tree by
-  equality-masked max — NOT take_along_axis, whose lane-wise element gather
-  is ~50x slower than the whole relaxation on TPU.
+  code ``local_row * D + slot`` relative to the state's first row (uint8
+  when ``max_bucket * D <= 256``, int16 otherwise).  Winner codes come from
+  equality-masked max inside each bucket — NOT take_along_axis, whose
+  lane-wise element gather is ~50x slower than the whole relaxation on TPU.
 * Backtrace runs on device as a tiny [T] scan; one host fetch at the end.
 
 Scores are max-plus (higher is better), like ``ops/viterbi.py``.
@@ -41,47 +53,34 @@ from .viterbi import NEG_INF, DenseGraph
 
 __all__ = [
     "EmitPlan", "build_emit_plan", "plan_to_device", "viterbi_scan",
-    "decode_best_path",
+    "decode_best_path", "reduce_rows",
 ]
 
 
 class EmitPlan(NamedTuple):
     """Host-built decode plan for a shared graph (see module docstring).
 
-    ``S`` counts real states; the plan appends one dead pad state (index
-    ``S``) whose score is pinned to NEG_INF so padded ``row_src`` entries are
-    harmless.  Rows are sorted by destination state, so the rows of state
-    ``s`` are ``row_start[s] : row_start[s+1]``.
+    States are renumbered into PLAN space: ``sperm[i]`` is the graph state
+    of plan state ``i`` (the pad state ``S`` maps to itself).  All row
+    arrays, ``row_start``, backtrace states and alpha tables live in plan
+    space; ``row_arc`` stores ORIGINAL arc ids so host-side lattice/path
+    assembly never needs the permutation.
 
-    The row -> state max-reduction is a THREE-stage tree shaped for real
-    HCLGs, whose in-degree distribution is extremely skewed (one LM-backoff
-    hub state can own thousands of (dst, pdf) rows while the median state
-    owns one):
-
-    * ``lvl1`` [L1, K]: chunk every state's rows K at a time (contiguous in
-      row space);
-    * ``hub_idx`` [n_hub, H_pad]: for the few states with more than K
-      level-1 chunks, ONE wide dense reduction over their (contiguous)
-      chunk range — replacing what used to be log_K(H) additional
-      full-[S]-width levels (a 90k-state graph with a 5331-row hub needed
-      SEVEN ~90k-wide levels; measured 6x the relaxation's gather traffic);
-    * ``final_idx`` [S+1, K] into level-1 chunks (states with <= K chunks)
-      merged with ``final_hub`` [S+1] into the hub outputs (-1 elsewhere).
+    ``rspec`` is a static tuple of ``(bucket, n_states)`` runs in plan-state
+    order (last entry is the pad state's ``(1, 1)``): plan state block
+    ``i0:i0+n`` owns rows ``r0 + k*bucket : r0 + (k+1)*bucket``, so the
+    row->state reduction is one reshape-max per run.
     """
 
-    row_src: np.ndarray  # [R, D] int32 source state per slot (pad: S)
+    row_src: np.ndarray  # [R, D] int32 source PLAN state per slot (pad: S)
     row_w: np.ndarray  # [R, D] f32 graph score (pad: NEG_INF)
     row_pdf: np.ndarray  # [R] int32 pdf shared by the row's arcs
     row_arc: np.ndarray  # [R, D] int32 original arc id (pad: -1; host only)
-    row_start: np.ndarray  # [S+2] int32 CSR of rows per state
-    lvl1: np.ndarray  # [L1, K] int32 row indices (-1 pad)
-    hub_idx: np.ndarray  # [n_hub, H_pad] int32 level-1 chunk indices
-    #                      (-1 pad); n_hub == 0 when no state overflows
-    final_idx: np.ndarray  # [S+1, K] int32 level-1 chunk indices (-1 pad;
-    #                        all -1 for hub states)
-    final_hub: np.ndarray  # [S+1] int32 hub output slot (-1 for non-hub)
+    row_start: np.ndarray  # [S+2] int32 CSR of rows per plan state
+    sperm: np.ndarray  # [S+1] int32 plan state -> graph state (pad: S)
+    rspec: tuple  # ((bucket, n_states), ...) static reduction spec
     num_states: int  # S (real states, excluding the pad state)
-    packed: bool  # True: bp code fits uint8 (else int16/int32)
+    packed: bool  # True: bp code fits uint8 (else int16)
 
     @property
     def num_rows(self) -> int:
@@ -121,11 +120,22 @@ def _runs(key: np.ndarray):
             np.concatenate([b, [n]]).astype(np.int64))
 
 
+def _buckets_upto(n: int) -> np.ndarray:
+    """Bucket ladder 1, 2, 3, 4, 6, 9, 13, ... (~1.5x steps) covering n."""
+    out = [1]
+    while out[-1] < n:
+        out.append(max(out[-1] + 1, out[-1] * 3 // 2))
+    return np.asarray(out, np.int64)
+
+
 def build_emit_plan(graph: DenseGraph, d: Optional[int] = None,
                     k_upper: int = 4) -> EmitPlan:
-    """Group ``graph``'s arcs by (dst, pdf) into rows and build the
-    row->state max-reduction levels.  ``d`` (row width) defaults to a value
-    adapted to the (dst, pdf) run-length distribution."""
+    """Group ``graph``'s arcs by (dst, pdf) into rows of width ``d``
+    (defaulting to a value adapted to the run-length distribution), then
+    renumber states by bucketed row count so the row->state reduction is
+    gather-free (see EmitPlan docstring).  ``k_upper`` is accepted for
+    call-site compatibility with the round-3 tree builder and ignored."""
+    del k_upper
     s_real = graph.num_states
     s_pad = s_real + 1
     a = graph.num_arcs
@@ -146,77 +156,65 @@ def build_emit_plan(graph: DenseGraph, d: Optional[int] = None,
             d = int(min(8, max(2, 2 ** int(np.ceil(np.log2(max(p90, 2)))))))
 
     arc_rows, chunk_run = _chunk_runs(run_starts, run_ends, order, d)
-    chunk_dst = dst_s[run_starts][chunk_run] if len(chunk_run) else \
-        np.zeros(0, np.int64)
-    chunk_pdf = pdf_s[run_starts][chunk_run] if len(chunk_run) else \
-        np.zeros(0, np.int64)
+    n_chunk = len(chunk_run)
+    chunk_dst = (dst_s[run_starts][chunk_run] if n_chunk else
+                 np.zeros(0, np.int64))
+    chunk_pdf = (pdf_s[run_starts][chunk_run] if n_chunk else
+                 np.zeros(0, np.int64))
 
-    # every state (incl. the pad state) needs at least one row; add dead rows
-    # for row-less states so the reduction covers all of them
-    have = np.zeros(s_pad, bool)
-    have[chunk_dst] = True
-    missing = np.flatnonzero(~have)
-    row_dst = np.concatenate([chunk_dst, missing]).astype(np.int64)
-    row_pdf_all = np.concatenate([chunk_pdf, np.zeros(len(missing), np.int64)])
-    row_arc = np.concatenate(
-        [arc_rows, np.full((len(missing), d), -1, np.int64)], axis=0)
+    # rows per graph state (row-less states get one dead row -> bucket 1)
+    nrows = np.zeros(s_real, np.int64)
+    np.add.at(nrows, chunk_dst, 1)
+    nrows1 = np.maximum(nrows, 1)
 
-    # sort rows by destination so each state's rows are contiguous
-    row_order = np.argsort(row_dst, kind="stable")
-    row_dst = row_dst[row_order]
-    row_pdf_all = row_pdf_all[row_order].astype(np.int32)
-    row_arc = row_arc[row_order].astype(np.int32)
-    r = len(row_dst)
+    buckets = _buckets_upto(int(nrows1.max()))
+    bidx = np.searchsorted(buckets, nrows1)
+    cap = buckets[bidx]  # [S_real] row slots owned by each graph state
+
+    # plan numbering: stable sort by bucket; the pad state stays at index S
+    sperm = np.argsort(bidx, kind="stable")  # plan i -> graph state
+    iperm = np.empty(s_real, np.int64)
+    iperm[sperm] = np.arange(s_real)
+    cap_plan = cap[sperm]
+    row_start_plan = np.concatenate([[0], np.cumsum(cap_plan)])
+    r = int(row_start_plan[-1]) + 1  # + one dead row for the pad state
+    row_start = np.concatenate([row_start_plan, [r]]).astype(np.int32)
+
+    # static reduction spec: runs of equal bucket in plan order + pad entry
+    rs, re = _runs(cap_plan)
+    rspec = tuple((int(cap_plan[s]), int(e - s)) for s, e in zip(rs, re))
+    rspec = rspec + ((1, 1),)
+
+    # scatter chunk rows into their plan slots (rank-within-state preserved:
+    # chunks are (dst, pdf)-sorted, so per-dst chunks are consecutive)
+    row_arc = np.full((r, d), -1, np.int64)
+    row_pdf_all = np.zeros(r, np.int64)
+    if n_chunk:
+        first_chunk_of_dst = np.searchsorted(chunk_dst, chunk_dst)
+        rank = np.arange(n_chunk) - first_chunk_of_dst
+        tgt = row_start_plan[iperm[chunk_dst]] + rank
+        row_arc[tgt] = arc_rows
+        row_pdf_all[tgt] = chunk_pdf
+    row_pdf_all = row_pdf_all.astype(np.int32)
+    row_arc = row_arc.astype(np.int32)
 
     rvalid = row_arc >= 0
     safe = np.maximum(row_arc, 0)
-    row_src = np.where(rvalid, graph.arc_src[safe], s_real).astype(np.int32)
+    iperm_pad = np.concatenate([iperm, [s_real]])
+    row_src = np.where(rvalid, iperm_pad[graph.arc_src[safe]],
+                       s_real).astype(np.int32)
     row_w = np.where(rvalid, graph.arc_score[safe], NEG_INF).astype(np.float32)
 
-    row_start = np.zeros(s_pad + 1, np.int64)
-    np.add.at(row_start, row_dst + 1, 1)
-    row_start = np.cumsum(row_start).astype(np.int32)
-    max_rows = int(np.diff(row_start).max())
-    # bp code = rowloc * d + slot, stored as uint8 when it fits, else int16
-    assert max_rows * d < 2 ** 15, \
-        f"state with {max_rows} rows exceeds the int16 bp code range"
-    packed = max_rows * d <= 256
+    max_bucket = int(cap.max()) if s_real else 1
+    # bp code = local_row * d + slot, stored as uint8 when it fits, else int16
+    assert max_bucket * d <= 2 ** 15, \
+        f"state with {max_bucket} row slots exceeds the int16 bp code range"
+    packed = max_bucket * d <= 256
 
-    # ---- three-stage reduction tree (see EmitPlan docstring) -------------
-    # level 1: chunk each state's (contiguous) rows k_upper at a time
-    rows_per_state = np.diff(row_start).astype(np.int64)
-    lvl1, chunk_state = _chunk_runs(
-        row_start[:-1].astype(np.int64), row_start[1:].astype(np.int64),
-        np.arange(r, dtype=np.int64), k_upper)
-    chunks_per_state = -(-rows_per_state // k_upper)
-    first_chunk = np.concatenate([[0], np.cumsum(chunks_per_state[:-1])])
-    # states whose chunk count exceeds k_upper need the hub stage
-    hub_states = np.flatnonzero(chunks_per_state > k_upper)
-    n_hub = len(hub_states)
-    final_hub = np.full(s_pad, -1, np.int64)
-    if n_hub:
-        h_pad = int(chunks_per_state[hub_states].max())
-        hub_idx = np.full((n_hub, h_pad), -1, np.int64)
-        for i, hs in enumerate(hub_states):
-            c0, cn = int(first_chunk[hs]), int(chunks_per_state[hs])
-            hub_idx[i, :cn] = np.arange(c0, c0 + cn)
-        final_hub[hub_states] = np.arange(n_hub)
-    else:
-        hub_idx = np.zeros((0, 1), np.int64)
-    final_idx = np.full((s_pad, k_upper), -1, np.int64)
-    normal = chunks_per_state <= k_upper
-    for k in range(k_upper):
-        sel = normal & (chunks_per_state > k)
-        final_idx[sel, k] = first_chunk[sel] + k
-
-    assert int(row_start[-1]) == r
+    sperm_full = np.concatenate([sperm, [s_real]]).astype(np.int32)
     return EmitPlan(row_src=row_src, row_w=row_w, row_pdf=row_pdf_all,
-                    row_arc=row_arc, row_start=row_start,
-                    lvl1=lvl1.astype(np.int32),
-                    hub_idx=hub_idx.astype(np.int32),
-                    final_idx=final_idx.astype(np.int32),
-                    final_hub=final_hub.astype(np.int32),
-                    num_states=s_real, packed=packed)
+                    row_arc=row_arc, row_start=row_start, sperm=sperm_full,
+                    rspec=rspec, num_states=s_real, packed=packed)
 
 
 class EmitPlanDev(NamedTuple):
@@ -226,10 +224,6 @@ class EmitPlanDev(NamedTuple):
     row_w: jnp.ndarray  # [R, D]
     row_pdf: jnp.ndarray  # [R]
     row_start: jnp.ndarray  # [S+2]
-    lvl1: jnp.ndarray  # [L1, K]
-    hub_idx: jnp.ndarray  # [n_hub, H_pad] ([0, 1] when no hubs)
-    final_idx: jnp.ndarray  # [S+1, K]
-    final_hub: jnp.ndarray  # [S+1]
 
 
 def plan_to_device(plan: EmitPlan) -> EmitPlanDev:
@@ -238,10 +232,6 @@ def plan_to_device(plan: EmitPlan) -> EmitPlanDev:
         row_w=jnp.asarray(plan.row_w),
         row_pdf=jnp.asarray(plan.row_pdf),
         row_start=jnp.asarray(plan.row_start),
-        lvl1=jnp.asarray(plan.lvl1),
-        hub_idx=jnp.asarray(plan.hub_idx),
-        final_idx=jnp.asarray(plan.final_idx),
-        final_hub=jnp.asarray(plan.final_hub),
     )
 
 
@@ -249,32 +239,20 @@ def _bp_dtype(plan_packed: bool):
     return jnp.uint8 if plan_packed else jnp.int16
 
 
-def _gather_max(v, idx, b):
-    """max over idx's K slots of v's rows: idx [L, K] (-1 pad) -> [L, B]."""
-    l, k = idx.shape
-    safe = jnp.maximum(idx, 0).reshape(-1)
-    valid = (idx >= 0)[:, :, None]
-    cand = jnp.where(valid, jnp.take(v, safe, axis=0).reshape(l, k, b),
-                     NEG_INF)
-    return jnp.max(cand, axis=1)
+def reduce_rows(v, rspec: tuple, b: int):
+    """Row values [R, B] -> plan-state values [S+1, B]: one reshape-max per
+    bucket run, zero gathers (rows of a state are contiguous and every state
+    in a run owns exactly ``bucket`` rows)."""
+    parts = []
+    lo = 0
+    for c, n in rspec:
+        blk = jax.lax.slice_in_dim(v, lo, lo + n * c)
+        parts.append(blk if c == 1 else blk.reshape(n, c, b).max(axis=1))
+        lo += n * c
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
 
-def value_tree(v, dev: EmitPlanDev, b):
-    """Row values [R, B] -> state values [S+1, B] via the three-stage tree
-    (lvl1 chunks -> optional hub wide-reduce -> final merge); values only,
-    no winner codes."""
-    v1 = _gather_max(v, dev.lvl1, b)
-    out = _gather_max(v1, dev.final_idx, b)
-    if dev.hub_idx.shape[0]:
-        vh = _gather_max(v1, dev.hub_idx, b)
-        safe_h = jnp.maximum(dev.final_hub, 0)
-        vh2 = jnp.where((dev.final_hub >= 0)[:, None],
-                        jnp.take(vh, safe_h, axis=0), NEG_INF)
-        out = jnp.maximum(out, vh2)
-    return out
-
-
-def emit_value_step(alpha, ll_t, dev: EmitPlanDev, acwt):
+def emit_value_step(alpha, ll_t, dev: EmitPlanDev, acwt, rspec: tuple):
     """Value-only frame relaxation (no backpointer codes): alpha [S+1, B],
     ll_t [P, B] -> new alpha [S+1, B].  Used by the lattice forward-backward
     where winners are not needed (masks come from the gamma threshold)."""
@@ -284,65 +262,58 @@ def emit_value_step(alpha, ll_t, dev: EmitPlanDev, acwt):
     g = jnp.take(alpha, dev.row_src, axis=0).reshape(r, d_w, b) \
         + dev.row_w[:, :, None]
     v = jnp.max(g, axis=1) + am  # [R, B]
-    return value_tree(v, dev, b)
+    return reduce_rows(v, rspec, b)
 
 
-def _emit_step(alpha, ll_t, dev: EmitPlanDev, acwt, packed: bool, beam=None):
+def _emit_step(alpha, ll_t, dev: EmitPlanDev, acwt, rspec: tuple,
+               packed: bool, beam=None):
     """One frame of relaxation.  alpha [S+1, B], ll_t [P, B].
 
     Returns (new_alpha [S+1, B], bp [S+1, B]) where bp is the winner code
-    ``rowloc * D + slot`` relative to the state's first row.
+    ``local_row * D + slot`` relative to the state's first row.
     """
     r, d_w = dev.row_w.shape
     b = alpha.shape[1]
     am = jnp.take(ll_t, dev.row_pdf, axis=0) * acwt  # [R, B]
     g = jnp.take(alpha, dev.row_src, axis=0).reshape(r, d_w, b) \
         + dev.row_w[:, :, None]
-    slot = jnp.argmax(g, axis=1)  # [R, B] int32 (axis reduction: VPU-cheap)
+    slot = jnp.argmax(g, axis=1).astype(jnp.int32)  # [R, B] (VPU-cheap)
     v = jnp.max(g, axis=1) + am  # [R, B]
-    # winner code = global_row * D + slot; propagated through the tree by
-    # equality-masked max (take_along_axis would be an element gather)
-    code = jnp.arange(r, dtype=jnp.int32)[:, None] * d_w + slot  # [R, B]
 
-    def level(v_in, code_in, idx):
-        l, k = idx.shape
-        safe = jnp.maximum(idx, 0).reshape(-1)
-        valid = (idx >= 0)[:, :, None]
-        cand = jnp.where(valid,
-                         jnp.take(v_in, safe, axis=0).reshape(l, k, b),
-                         NEG_INF)
-        ccode = jnp.where(valid,
-                          jnp.take(code_in, safe, axis=0).reshape(l, k, b),
-                          -1)
-        v_out = jnp.max(cand, axis=1)  # [L, B]
-        # exact-equality tie-break: any maximal candidate's code is a valid
-        # backpointer; take the largest so (value, code) stay consistent
-        c_out = jnp.max(jnp.where(cand == v_out[:, None, :], ccode, -1),
-                        axis=1)
-        return v_out, c_out
-
-    v1, code1 = level(v, code, dev.lvl1)
-    v, code = level(v1, code1, dev.final_idx)
-    if dev.hub_idx.shape[0]:
-        vh, ch = level(v1, code1, dev.hub_idx)
-        safe_h = jnp.maximum(dev.final_hub, 0)
-        hub_ok = (dev.final_hub >= 0)[:, None]
-        vh2 = jnp.where(hub_ok, jnp.take(vh, safe_h, axis=0), NEG_INF)
-        ch2 = jnp.where(hub_ok, jnp.take(ch, safe_h, axis=0), -1)
-        take_h = vh2 > v
-        v = jnp.maximum(v, vh2)
-        code = jnp.where(take_h, ch2, code)
-    # v, code now have S+1 rows (state-indexed)
+    parts_v, parts_c = [], []
+    lo = 0
+    for c, n in rspec:
+        bv = jax.lax.slice_in_dim(v, lo, lo + n * c)
+        bs = jax.lax.slice_in_dim(slot, lo, lo + n * c)
+        if c == 1:
+            parts_v.append(bv)
+            parts_c.append(bs)  # local row 0 -> code == slot
+        else:
+            bvr = bv.reshape(n, c, b)
+            codes = (jnp.arange(c, dtype=jnp.int32)[None, :, None] * d_w
+                     + bs.reshape(n, c, b))
+            vm = bvr.max(axis=1)
+            # exact-equality tie-break: any maximal row's code is a valid
+            # backpointer; take the largest so (value, code) stay consistent
+            cm = jnp.max(jnp.where(bvr == vm[:, None, :], codes, -1), axis=1)
+            parts_v.append(vm)
+            parts_c.append(cm)
+        lo += n * c
+    if len(parts_v) == 1:
+        v_out, code = parts_v[0], parts_c[0]
+    else:
+        v_out = jnp.concatenate(parts_v, axis=0)
+        code = jnp.concatenate(parts_c, axis=0)
     if beam is not None:
-        best = jnp.max(v, axis=0, keepdims=True)
-        v = jnp.where(v >= best - beam, v, NEG_INF)
-    bp = code - dev.row_start[:-1, None] * d_w
-    return v, bp.astype(_bp_dtype(packed))
+        best = jnp.max(v_out, axis=0, keepdims=True)
+        v_out = jnp.where(v_out >= best - beam, v_out, NEG_INF)
+    return v_out, code.astype(_bp_dtype(packed))
 
 
-@functools.partial(jax.jit, static_argnames=("packed", "use_beam", "with_bp"))
+@functools.partial(jax.jit,
+                   static_argnames=("rspec", "packed", "use_beam", "with_bp"))
 def viterbi_scan(dev: EmitPlanDev, alpha, alpha_at_end, loglikes, num_frames,
-                 t0, acoustic_scale, beam, packed: bool,
+                 t0, acoustic_scale, beam, rspec: tuple, packed: bool,
                  use_beam: bool = False, with_bp: bool = True):
     """Forward Viterbi over a block of frames in ONE compiled scan, resuming
     from (alpha, alpha_at_end) at absolute frame ``t0``.
@@ -358,10 +329,10 @@ def viterbi_scan(dev: EmitPlanDev, alpha, alpha_at_end, loglikes, num_frames,
         a, ae, t = carry
         if with_bp:
             new_alpha, bp = _emit_step(
-                a, ll_t, dev, acoustic_scale, packed,
+                a, ll_t, dev, acoustic_scale, rspec, packed,
                 beam if use_beam else None)
         else:
-            new_alpha = emit_value_step(a, ll_t, dev, acoustic_scale)
+            new_alpha = emit_value_step(a, ll_t, dev, acoustic_scale, rspec)
             if use_beam:
                 best = jnp.max(new_alpha, axis=0, keepdims=True)
                 new_alpha = jnp.where(new_alpha >= best - beam, new_alpha,
@@ -412,7 +383,9 @@ def select_end_state(alpha_end, final_score):
     Mirrors the reference's final-state preference
     (``lattice-faster-decoder.cc`` ``FindBestPath``): use final-weighted
     scores when any final state is reachable, else the best non-final score.
-    Returns (end_state [B], score [B], use_final [B], has_path [B]).
+    ``final_score`` must be in PLAN space (permute by ``plan.sperm``).
+    Returns (end_state [B] plan space, score [B], use_final [B],
+    has_path [B]).
     """
     s_real = final_score.shape[0]
     ae = alpha_end[:s_real]
@@ -458,11 +431,13 @@ def decode_best_path(graph: DenseGraph, plan: EmitPlan, dev: EmitPlanDev,
     b, t_total, _p = loglikes.shape
     nf = jnp.asarray(num_frames, jnp.int32)
     alpha0 = jnp.concatenate(
-        [jnp.asarray(graph.alpha0), jnp.full((1,), NEG_INF, jnp.float32)])
+        [jnp.asarray(graph.alpha0[plan.sperm[:-1]]),
+         jnp.full((1,), NEG_INF, jnp.float32)])
     acwt = jnp.float32(acoustic_scale)
     use_beam = beam is not None
     beam_j = jnp.float32(beam if use_beam else 0.0)
     s1 = plan.num_states + 1
+    rspec = plan.rspec
 
     alpha = jnp.broadcast_to(alpha0[:, None], (s1, b))
     alpha_end = jnp.where((nf == 0)[None, :], alpha,
@@ -488,22 +463,23 @@ def decode_best_path(graph: DenseGraph, plan: EmitPlan, dev: EmitPlanDev,
             chunks.append((lo, alpha))
             (alpha, alpha_end), _ = viterbi_scan(
                 dev, alpha, alpha_end, loglikes[:, lo:lo + step_t], nf,
-                jnp.int32(lo), acwt, beam_j, plan.packed, use_beam,
+                jnp.int32(lo), acwt, beam_j, rspec, plan.packed, use_beam,
                 with_bp=False)
         else:
             (alpha, alpha_end), bps = viterbi_scan(
                 dev, alpha, alpha_end, loglikes[:, lo:lo + step_t], nf,
-                jnp.int32(lo), acwt, beam_j, plan.packed, use_beam)
+                jnp.int32(lo), acwt, beam_j, rspec, plan.packed, use_beam)
             chunks.append((lo, bps))
 
     # choose end state per utterance on device; fetch only [B]-sized arrays
     nf_np = np.asarray(num_frames)
     end_dev, score_dev, use_final_dev, has_path_dev = select_end_state(
-        alpha_end, jnp.asarray(graph.final_score))
-    end_state = np.asarray(end_dev)
+        alpha_end, jnp.asarray(graph.final_score[plan.sperm[:-1]]))
+    end_state = np.asarray(end_dev)  # plan space
     scores = np.asarray(score_dev).astype(np.float64)
     use_final = np.asarray(use_final_dev)
     has_path = np.asarray(has_path_dev)
+    end_orig = plan.sperm[end_state]  # graph space, for oseq lookups
 
     # backtrace chunks in reverse, carrying the state; ONE [T, B] host fetch
     # of packed codes row*D+slot
@@ -515,7 +491,7 @@ def decode_best_path(graph: DenseGraph, plan: EmitPlan, dev: EmitPlanDev,
             lo, a_snap = item
             _, bps = viterbi_scan(
                 dev, a_snap, a_snap, loglikes[:, lo:lo + step_t], nf,
-                jnp.int32(lo), acwt, beam_j, plan.packed, use_beam)
+                jnp.int32(lo), acwt, beam_j, rspec, plan.packed, use_beam)
         else:
             lo, bps = item
         codes_c, state = backtrace_scan(
@@ -539,12 +515,12 @@ def decode_best_path(graph: DenseGraph, plan: EmitPlan, dev: EmitPlanDev,
         if n and (arcs < 0).any():
             out.append({"tids": [], "words": [], "score": -np.inf, "arcs": []})
             continue
-        start_s = int(graph.arc_src[arcs[0]]) if n else int(end_state[i])
+        start_s = int(graph.arc_src[arcs[0]]) if n else int(end_orig[i])
         words = list(graph.oseqs[graph.start_oseq[start_s]])
         for a in arcs:
             words.extend(graph.oseqs[graph.arc_oseq[a]])
         if use_final[i]:
-            words.extend(graph.oseqs[graph.final_oseq[end_state[i]]])
+            words.extend(graph.oseqs[graph.final_oseq[end_orig[i]]])
         out.append({
             "tids": [int(t) for t in graph.arc_tid[arcs]],
             "words": words,

@@ -193,15 +193,23 @@ def lattice_forward_backward(graph: DenseGraph, levels: tuple, rev_levels: tuple
 #   * survivor masks are computed on the forward plan's rows, where the
 #     row's destination state and pdf are constants, and emitted as packed
 #     row-major bits ([T, B, ceil(R*D/8)] uint8) — ONE device->host fetch.
+#
+# The two plans renumber states INDEPENDENTLY (each sorts its own row-count
+# buckets; decode_core EmitPlan docstring): alpha lives in fwd-plan space,
+# beta in bwd-plan space.  ``row_dst`` therefore maps each FORWARD row's
+# destination into BWD-plan space so the gamma test can gather beta rows
+# directly, and final scores are permuted per consumer.
 
 from .decode_core import (EmitPlan, EmitPlanDev, build_emit_plan,
-                          emit_value_step, plan_to_device, value_tree)
+                          emit_value_step, plan_to_device, reduce_rows)
 
 
 def build_lattice_plans(graph: DenseGraph, d: int | None = None,
                         fwd_plan: EmitPlan | None = None):
-    """(fwd_plan, fwd_dev, bwd_dev, row_dst [R]) for the row-based FB.
-    Pass an existing forward ``EmitPlan`` (the decoder's) to reuse it."""
+    """(fwd_plan, fwd_dev, bwd_plan, bwd_dev, row_dst [R]) for the row-based
+    FB.  Pass an existing forward ``EmitPlan`` (the decoder's) to reuse it.
+    ``row_dst[r]`` is the BWD-PLAN state id of forward row r's destination
+    (the pad row maps to the pad state)."""
     if fwd_plan is None:
         fwd_plan = build_emit_plan(graph, d=d)
     gt = DenseGraph(
@@ -212,21 +220,28 @@ def build_lattice_plans(graph: DenseGraph, d: int | None = None,
         final_score=graph.final_score, final_oseq=graph.final_oseq,
         oseqs=graph.oseqs)
     bwd_plan = build_emit_plan(gt, d=d)
-    row_dst = np.repeat(np.arange(len(fwd_plan.row_start) - 1, dtype=np.int32),
-                        np.diff(fwd_plan.row_start))
-    return fwd_plan, plan_to_device(fwd_plan), plan_to_device(bwd_plan), row_dst
+    s_pad = graph.num_states + 1
+    # forward row -> graph dst -> bwd-plan state
+    dst_plan = np.repeat(np.arange(s_pad, dtype=np.int64),
+                         np.diff(fwd_plan.row_start))
+    dst_graph = fwd_plan.sperm[dst_plan]
+    bwd_iperm = np.empty(s_pad, np.int64)
+    bwd_iperm[bwd_plan.sperm] = np.arange(s_pad)
+    row_dst = bwd_iperm[dst_graph].astype(np.int32)
+    return (fwd_plan, plan_to_device(fwd_plan), bwd_plan,
+            plan_to_device(bwd_plan), row_dst)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("rspec",))
 def _fb_win_forward(fwd_dev: EmitPlanDev, alpha, at_end, ll_win, t0,
-                    num_frames, acwt):
+                    num_frames, acwt, rspec: tuple):
     """One forward window (medium program — the remote worker wedges on
     monolithic nested whole-utterance scans; see the verify-skill notes).
     ll_win [W, P, B]; returns (alpha, at_end) after the window."""
 
     def frame(c, ll_t):
         a, e, t = c
-        na = emit_value_step(a, ll_t, fwd_dev, acwt)
+        na = emit_value_step(a, ll_t, fwd_dev, acwt, rspec)
         a = jnp.where((t < num_frames)[None, :], na, a)
         e = jnp.where((t + 1 == num_frames)[None, :], a, e)
         return (a, e, t + 1), None
@@ -270,10 +285,12 @@ def _sparsify_bytes(flat, budget: int):
     return idx, val, count
 
 
-@functools.partial(jax.jit, static_argnames=("mask_budget",))
+@functools.partial(jax.jit,
+                   static_argnames=("fwd_rspec", "bwd_rspec", "mask_budget"))
 def _fb_win_backward(fwd_dev: EmitPlanDev, bwd_dev: EmitPlanDev, row_dst,
                      snap, beta, ll_win, t0, num_frames, final_eff, thresh,
-                     acwt, mask_budget: int | None = None):
+                     acwt, fwd_rspec: tuple, bwd_rspec: tuple,
+                     mask_budget: int | None = None):
     """One reverse window: pass 1 relaxes beta (descending), storing the
     per-frame ``beta_eff`` at t+1; pass 2 recomputes alphas ascending from
     the ``snap`` (alpha at t0) with the survivor test FUSED into the same
@@ -281,6 +298,8 @@ def _fb_win_backward(fwd_dev: EmitPlanDev, bwd_dev: EmitPlanDev, row_dst,
     alpha gather the relaxation already does (one fewer full-gather pass
     than the naive alpha-slab formulation).
 
+    ``snap``/alpha live in FWD-plan space, ``beta``/``final_eff`` in
+    BWD-plan space; ``row_dst`` maps forward rows into bwd space.
     Returns (beta at t0, bits [W, ceil(R*D/8), B] in forward frame order)."""
     w = ll_win.shape[0]
     b = snap.shape[1]
@@ -290,7 +309,7 @@ def _fb_win_backward(fwd_dev: EmitPlanDev, bwd_dev: EmitPlanDev, row_dst,
     def bwd_frame(bt, inp):
         ll_t, t = inp
         beta_eff = jnp.where((t + 1 == num_frames)[None, :], final_eff, bt)
-        nb = emit_value_step(beta_eff, ll_t, bwd_dev, acwt)
+        nb = emit_value_step(beta_eff, ll_t, bwd_dev, acwt, bwd_rspec)
         nb = jnp.where((t < num_frames)[None, :], nb, bt)
         return nb, beta_eff  # beta above frame t (used by gamma at t)
 
@@ -303,7 +322,7 @@ def _fb_win_backward(fwd_dev: EmitPlanDev, bwd_dev: EmitPlanDev, row_dst,
         am = jnp.take(ll_t, fwd_dev.row_pdf, axis=0) * acwt  # [R, B]
         g = jnp.take(a, fwd_dev.row_src, axis=0).reshape(r, d_w, b) \
             + fwd_dev.row_w[:, :, None]
-        na = value_tree(jnp.max(g, axis=1) + am, fwd_dev, b)
+        na = reduce_rows(jnp.max(g, axis=1) + am, fwd_rspec, b)
         na = jnp.where((t < num_frames)[None, :], na, a)
         tail = am + jnp.take(beta_next, row_dst, axis=0)  # [R, B]
         keep = (g + tail[:, None, :] >= thresh[None, None, :]) & \
@@ -323,7 +342,8 @@ def _fb_win_backward(fwd_dev: EmitPlanDev, bwd_dev: EmitPlanDev, row_dst,
 
 
 def lattice_forward_backward_rows(graph: DenseGraph, fwd_plan: EmitPlan,
-                                  fwd_dev: EmitPlanDev, bwd_dev: EmitPlanDev,
+                                  fwd_dev: EmitPlanDev, bwd_plan: EmitPlan,
+                                  bwd_dev: EmitPlanDev,
                                   row_dst: np.ndarray, loglikes, num_frames,
                                   acoustic_scale: float, lattice_beam: float,
                                   window: int = 64,
@@ -354,10 +374,17 @@ def lattice_forward_backward_rows(graph: DenseGraph, fwd_plan: EmitPlan,
     nf = jnp.asarray(num_frames)
     acwt = jnp.float32(acoustic_scale)
     s1 = fwd_plan.num_states + 1
+    # alpha / at_end live in FWD-plan space, beta / final_eff in BWD-plan
+    # space (each plan renumbers states for its gather-free reduction)
     alpha0_col = jnp.concatenate(
-        [jnp.asarray(graph.alpha0), jnp.full((1,), NEG_INF, jnp.float32)])
+        [jnp.asarray(graph.alpha0[fwd_plan.sperm[:-1]]),
+         jnp.full((1,), NEG_INF, jnp.float32)])
     final_col = jnp.concatenate(
-        [jnp.asarray(graph.final_score), jnp.full((1,), NEG_INF, jnp.float32)])
+        [jnp.asarray(graph.final_score[fwd_plan.sperm[:-1]]),
+         jnp.full((1,), NEG_INF, jnp.float32)])
+    final_col_bwd = jnp.concatenate(
+        [jnp.asarray(graph.final_score[bwd_plan.sperm[:-1]]),
+         jnp.full((1,), NEG_INF, jnp.float32)])
 
     # phase 1: per-window forward, keeping one alpha snapshot per window
     alpha = jnp.broadcast_to(alpha0_col[:, None], (s1, b))
@@ -368,7 +395,7 @@ def lattice_forward_backward_rows(graph: DenseGraph, fwd_plan: EmitPlan,
         snaps.append(alpha)
         alpha, at_end = _fb_win_forward(
             fwd_dev, alpha, at_end, ll[w * window:(w + 1) * window],
-            jnp.int32(w * window), nf, acwt)
+            jnp.int32(w * window), nf, acwt, fwd_plan.rspec)
 
     with_final = jnp.max(at_end + final_col[:, None], axis=0)
     no_final = jnp.max(at_end, axis=0)
@@ -376,7 +403,7 @@ def lattice_forward_backward_rows(graph: DenseGraph, fwd_plan: EmitPlan,
     total_best = jnp.where(use_final, with_final, no_final)
     # partial-path fallback: when no final state is reachable, treat every
     # state as final with cost 0 (Kaldi's DecodeUtteranceLatticeFaster)
-    final_eff = jnp.where(use_final[None, :], final_col[:, None],
+    final_eff = jnp.where(use_final[None, :], final_col_bwd[:, None],
                           jnp.zeros((s1, b)))
     thresh = total_best - jnp.float32(lattice_beam)
 
@@ -391,7 +418,8 @@ def lattice_forward_backward_rows(graph: DenseGraph, fwd_plan: EmitPlan,
         beta, out = _fb_win_backward(
             fwd_dev, bwd_dev, row_dst_j, snaps[w], beta,
             ll[w * window:(w + 1) * window], jnp.int32(w * window), nf,
-            final_eff, thresh, acwt, mask_budget)
+            final_eff, thresh, acwt, fwd_plan.rspec, bwd_plan.rspec,
+            mask_budget)
         snaps[w] = None  # free the snapshot buffer
         if mask_budget is None:
             out.copy_to_host_async()

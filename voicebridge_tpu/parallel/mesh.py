@@ -100,7 +100,7 @@ def em_estep_sharded(mesh: Mesh, num_states: int, num_pdfs: int, num_tids: int):
     return jax.jit(step)
 
 
-def decode_forward_sharded(mesh: Mesh, packed: bool):
+def decode_forward_sharded(mesh: Mesh, packed: bool, rspec: tuple):
     """Mesh-sharded decode forward over a replicated HCLG: the production
     in-degree-row kernel (ops/decode_core.viterbi_scan) with utterances
     data-parallel in the batch-minor layout (batch is the LAST axis of the
@@ -129,7 +129,7 @@ def decode_forward_sharded(mesh: Mesh, packed: bool):
     def step(dev, alpha, alpha_end, loglikes, num_frames, acwt):
         (a, ae), bps = DC.viterbi_scan(
             dev, alpha, alpha_end, loglikes, num_frames, jnp.int32(0),
-            acwt, jnp.float32(0.0), packed, False)
+            acwt, jnp.float32(0.0), rspec, packed, False)
         return a, ae, bps
 
     return jax.jit(step)

@@ -193,10 +193,10 @@ class Decoder:
         g = self.graph
         window = self._lattice_window(np.asarray(feats).shape[1])
         if not hasattr(self, "_lat_plans"):
-            plan, fwd_dev, bwd_dev, row_dst = LAT.build_lattice_plans(
-                g, fwd_plan=self.plan)
-            self._lat_plans = (fwd_dev, bwd_dev, row_dst)
-        fwd_dev, bwd_dev, row_dst = self._lat_plans
+            _plan, fwd_dev, bwd_plan, bwd_dev, row_dst = \
+                LAT.build_lattice_plans(g, fwd_plan=self.plan)
+            self._lat_plans = (fwd_dev, bwd_plan, bwd_dev, row_dst)
+        fwd_dev, bwd_plan, bwd_dev, row_dst = self._lat_plans
         feats = np.asarray(feats)
         num_frames = np.asarray(num_frames)
         # pad T to a multiple of 128: a multiple of every window choice, and
@@ -240,8 +240,8 @@ class Decoder:
             budget = window * 1024
             sparse, _best, _aend, use_final = \
                 LAT.lattice_forward_backward_rows(
-                    g, self.plan, fwd_dev, bwd_dev, row_dst, ll, nf,
-                    acoustic_scale=acwt,
+                    g, self.plan, fwd_dev, bwd_plan, bwd_dev, row_dst, ll,
+                    nf, acoustic_scale=acwt,
                     lattice_beam=self.opts.lattice_beam, window=window,
                     mask_budget=budget)
 
@@ -262,8 +262,8 @@ class Decoder:
                     len(clips), max(c[2] for c in clips), window * 1024)
                 packed, _best, _aend, use_final = \
                     LAT.lattice_forward_backward_rows(
-                        g, self.plan, fwd_dev, bwd_dev, row_dst, ll, nf,
-                        acoustic_scale=acwt,
+                        g, self.plan, fwd_dev, bwd_plan, bwd_dev, row_dst,
+                        ll, nf, acoustic_scale=acwt,
                         lattice_beam=self.opts.lattice_beam, window=window)
                 lats = build_lattices_packed(g, self.plan.row_arc, packed,
                                              np.asarray(ll), nf, use_final)
