@@ -255,13 +255,16 @@ class DecodeOptions:
     word_ins_penalties: tuple = (0.0, 0.5, 1.0)
     # Device-memory budget (bytes) for the lattice FB working set; sets the
     # per-dispatch sub-batch (fuller 128-lane rows, until HBM/the worker
-    # gives out).  Measured round 3 on the 90k-state bench graph at
-    # B=128/T=1000 with worst-case-density features: 1.05 GB (sub-batch 32)
-    # ran 3.5 audio-s/s vs 640 MB (sub-batch 16) at 4.9 — the larger
-    # working set lost more to sparse-budget overflows refetching dense
-    # than it gained in lane fill, so 640 MB stays the default even where
-    # HBM allows more.
-    lattice_mem_budget: float = 640e6
+    # gives out).  Round 3 defaulted to 640 MB because larger working sets
+    # lost more to sparse-budget overflows refetching dense masks than they
+    # gained in lane fill.  Round 4 removed that failure mode (the word
+    # budget covers the worst window ever measured and the tiered fetch
+    # makes oversizing ~free), after which the sub-batch ladder measured on
+    # the 90k-state bench graph at B=128/T=1000: realistic density 13.5 ->
+    # 22.8 -> 35.2 audio-s/s at sub-batch 16/32/64 (worst-case 10.3 -> 9.7
+    # -> 13.3), so the default now targets sub-batch 64 (~2 GB working
+    # set, well within a 16 GB v5e).
+    lattice_mem_budget: float = 2e9
 
 
 @dataclass(frozen=True)

@@ -148,15 +148,28 @@ def build_lattices_sparse(graph: DenseGraph, row_arc: np.ndarray,
                           sparse: list, nbytes: int, ll: np.ndarray,
                           num_frames, use_final: np.ndarray,
                           log_warn=None) -> list["Lattice"]:
-    """Assemble lattices from the SPARSE survivor-byte fetch of
+    """Assemble lattices from the SPARSE survivor-word fetch of
     ``lattice_forward_backward_rows(mask_budget=...)``: per window,
-    ``(t0, idx [K, B], val [K, B], count [B])`` with idx = flat positions
-    ``t_local * nbytes + byte`` (-1 pad).  Same expansion math as
-    :func:`build_lattices_packed`; a window whose nonzero-byte count
+    ``(t0, idx [K, B], val [K, B], count [B])`` where idx are 4-byte WORD
+    positions over the flat ``t_local * nbytes + byte`` mask space (-1
+    pad) and val the big-endian packed mask words (ops/lattice.py
+    ``_sparsify_words``).  Same expansion math as
+    :func:`build_lattices_packed`; a window whose nonzero-word count
     exceeded the budget K is clipped (latest frames dropped) and reported
-    via ``log_warn(utt_index, window_t0, count, budget)``."""
+    via ``log_warn(utt_index, window_t0, count, budget)`` — callers that
+    pass no handler (external API users) get a log.warning instead of a
+    silent clip; the production Decoder passes a collector and refetches
+    the whole chunk dense, so its lattices are never clipped."""
+    from ..utils.logging import get_logger
+
+    if log_warn is None:
+        log_warn = (lambda i, t0, c, k: get_logger().warning(
+            "build_lattices_sparse: utt %d window t0=%d overflowed the "
+            "sparse mask budget (%d > %d); lattice clipped — refetch dense "
+            "for exactness", i, t0, c, k))
     row_arc_flat = row_arc.reshape(-1)
     n_pos = len(row_arc_flat)
+    shifts = np.array([24, 16, 8, 0], np.uint32)[None, :]
     b = sparse[0][3].shape[0] if sparse else 0
     out = []
     for i in range(b):
@@ -166,15 +179,20 @@ def build_lattices_sparse(graph: DenseGraph, row_arc: np.ndarray,
             budget = idx.shape[0]
             c = int(count[i])
             if c > budget:
-                if log_warn is not None:
-                    log_warn(i, int(t0), c, budget)
+                log_warn(i, int(t0), c, budget)
                 c = budget
             if c == 0:
                 continue
-            pos = idx[:c, i].astype(np.int64)
+            wpos = idx[:c, i].astype(np.int64)
+            wval = val[:c, i].astype(np.uint32)
+            bpos = (wpos[:, None] * 4 + np.arange(4)[None, :]).reshape(-1)
+            bval = ((wval[:, None] >> shifts) & 0xFF).astype(
+                np.uint8).reshape(-1)
+            nzb = bval != 0
+            pos, bv = bpos[nzb], bval[nzb]
             ts_parts.append(t0 + pos // nbytes)
             byte_parts.append(pos % nbytes)
-            val_parts.append(val[:c, i])
+            val_parts.append(bv)
         if not ts_parts:
             out.append(Lattice(graph=graph, nf=nf,
                                arc_t=np.zeros(0, np.int32),

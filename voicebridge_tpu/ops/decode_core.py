@@ -442,7 +442,14 @@ def decode_best_path(graph: DenseGraph, plan: EmitPlan, dev: EmitPlanDev,
     alpha = jnp.broadcast_to(alpha0[:, None], (s1, b))
     alpha_end = jnp.where((nf == 0)[None, :], alpha,
                           jnp.full((s1, b), NEG_INF))
+    bp_width = 1 if plan.packed else 2
+    recompute = t_total * s1 * b * bp_width > bp_bytes_budget
     step_t = t_total if chunk is None else min(chunk, t_total)
+    if recompute and chunk is None:
+        # a single chunk would make pass 2 materialize the full [T, S+1, B]
+        # table anyway (no memory cut for 2x forward FLOPs); derive a chunk
+        # that keeps one resident bp block within the budget
+        step_t = max(16, min(t_total, bp_bytes_budget // (s1 * b * bp_width)))
     # pad T to a multiple of the chunk so every dispatch reuses ONE compiled
     # scan (a short remainder chunk would recompile per distinct T % chunk);
     # padded frames are masked by num_frames inside the scan
@@ -451,8 +458,6 @@ def decode_best_path(graph: DenseGraph, plan: EmitPlan, dev: EmitPlanDev,
         loglikes = jnp.concatenate(
             [loglikes, jnp.zeros((b, t_pad - t_total, loglikes.shape[2]),
                                  loglikes.dtype)], axis=1)
-    bp_bytes = t_pad * s1 * b * (1 if plan.packed else 2)
-    recompute = bp_bytes > bp_bytes_budget
 
     chunks = []  # (lo, bps) in keep mode; (lo, alpha_snap) in recompute mode
     for lo in range(0, t_pad, step_t):

@@ -250,38 +250,44 @@ def _fb_win_forward(fwd_dev: EmitPlanDev, alpha, at_end, ll_win, t0,
     return a, e
 
 
-def _sparsify_bytes(flat, budget: int):
-    """Bounded-budget nonzero-byte compaction: flat [M, B] uint8 ->
-    (idx [K, B] int32 positions of the first K nonzero bytes (-1 pad),
-    val [K, B] uint8, count [B] total nonzero bytes).
+def _sparsify_words(flat, budget: int):
+    """Bounded-budget nonzero-WORD compaction: flat [M, B] uint8 (mask
+    bytes in position order) -> (idx [K, B] int32 word positions of the
+    first K nonzero 4-byte words (-1 pad), val [K, B] int32 big-endian
+    packed words, count [B] total nonzero words).
 
     Survivor masks are extremely sparse on real HCLGs (~0.05% of bytes
     nonzero at lattice_beam 8 with peaked acoustics), but a dense
-    [W, nbytes, B] fetch moves the zeros too (825 MB per 16-utt chunk at
-    T=1000 on a 90k-state graph).  A cumsum-rank + batched binary search
-    extracts the nonzero bytes on device into a fixed [K, B] budget —
-    the host link then moves only ~K*5 bytes per utterance per window.
-    Overflow (count > K) is detectable by the caller; clipped bytes drop
+    [W, nbytes, B] fetch moves the zeros too (854 MB per 32-utt chunk at
+    T=500 on the 90k-state graph — ~41 s over the ~21 MB/s tunnel,
+    measured in tools/profile_lattice.py).  Compaction of the position-
+    ordered mask is a lane-major 2-operand ``lax.sort`` with key
+    "descending position where nonzero" and the packed word as the
+    carried value — no per-element gathers anywhere.  Measured per
+    window (tools/exp_sparsify.py, M=834k bytes, B=32): round-3 cumsum +
+    batched-binary-search 493 ms at K=32768 (its ``take_along_axis``
+    probes are lane-wise element gathers), byte-level top_k 126 ms,
+    word-level sort 80 ms (4x fewer sorted elements; sort cost is
+    K-independent, so oversizing the budget is free compute-wise).
+    Overflow (count > K) is detectable by the caller; clipped words drop
     the *latest-frame* survivors in the window (positions are scanned in
     frame order)."""
     m, b = flat.shape
-    nz = flat != 0
-    rank = jnp.cumsum(nz.astype(jnp.int32), axis=0)  # [M, B] monotone
-    count = rank[-1]
-    ks = jnp.arange(1, budget + 1, dtype=jnp.int32)[:, None]  # [K, 1]
-    lo = jnp.zeros((budget, b), jnp.int32)
-    hi = jnp.full((budget, b), m - 1, jnp.int32)
-    # lower_bound: smallest i with rank[i] >= k
-    for _ in range(max(m - 1, 1).bit_length()):
-        mid = (lo + hi) >> 1
-        rm = jnp.take_along_axis(rank, mid, axis=0)  # [K, B]
-        ge = rm >= ks
-        hi = jnp.where(ge, mid, hi)
-        lo = jnp.where(ge, lo, jnp.minimum(mid + 1, m - 1))
-    valid = ks <= count[None, :]
-    val = jnp.take_along_axis(flat, lo, axis=0)
-    idx = jnp.where(valid, lo, -1)
-    val = jnp.where(valid, val, 0)
+    if m % 4:
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((4 - m % 4, b), flat.dtype)], axis=0)
+    mw = flat.shape[0] // 4
+    w8 = flat.reshape(mw, 4, b).astype(jnp.int32)
+    words = (w8[:, 0] << 24) | (w8[:, 1] << 16) | (w8[:, 2] << 8) | w8[:, 3]
+    nz = words != 0
+    key = jnp.where(nz, mw - jnp.arange(mw, dtype=jnp.int32)[:, None], 0)
+    kk = min(budget, mw)
+    sk, sv = jax.lax.sort([key.T, words.T], dimension=-1, num_keys=1)
+    topk = sk[:, mw - kk:][:, ::-1]  # descending key = ascending position
+    topw = sv[:, mw - kk:][:, ::-1]
+    idx = jnp.where(topk > 0, mw - topk, -1).T
+    val = jnp.where(topk > 0, topw, 0).T
+    count = jnp.sum(nz.astype(jnp.int32), axis=0)
     return idx, val, count
 
 
@@ -336,7 +342,7 @@ def _fb_win_backward(fwd_dev: EmitPlanDev, bwd_dev: EmitPlanDev, row_dst,
     if mask_budget is None:
         return beta, bits
     nbytes = bits.shape[1]
-    idx, val, count = _sparsify_bytes(bits.reshape(w * nbytes, b),
+    idx, val, count = _sparsify_words(bits.reshape(w * nbytes, b),
                                       mask_budget)
     return beta, (idx, val, count)
 
@@ -360,9 +366,10 @@ def lattice_forward_backward_rows(graph: DenseGraph, fwd_plan: EmitPlan,
     With ``mask_budget`` set (nonzero bytes per window per utterance), the
     first element is instead a SPARSE representation: a list of
     ``(t0, idx [K, B], val [K, B], count [B])`` per window in ascending-t0
-    order, where idx are flat positions ``t_local * nbytes + byte`` (-1
-    pad).  The dense [T, nbytes, B] fetch moves ~99.95% zeros on real
-    HCLGs; the sparse fetch is ~100-300x smaller (see _sparsify_bytes)."""
+    order, where idx are 4-byte WORD positions over the flat
+    ``t_local * nbytes + byte`` mask space (-1 pad) and val the packed
+    big-endian mask words.  The dense [T, nbytes, B] fetch moves ~99.95% zeros on real
+    HCLGs; the sparse fetch is ~100-300x smaller (see _sparsify_words)."""
     b, t_total, _p = loglikes.shape
     nw = max(1, -(-t_total // window))
     t_pad = nw * window
@@ -410,10 +417,42 @@ def lattice_forward_backward_rows(graph: DenseGraph, fwd_plan: EmitPlan,
     # phase 2: reverse windows.  Masks are fetched with a one-window lag so
     # the transfer of window w+1 overlaps the compute of window w, and each
     # consumed snapshot is dropped so device residency stays bounded.
+    #
+    # Sparse-mode fetch is TIERED: the budget K is sized for the worst
+    # window ever measured, but typical windows carry far fewer nonzero
+    # words (realistic decodes: mean ~40, max ~500 per window at B=32 —
+    # tools/profile_lattice.py), so eagerly moving the full [K, B] arrays
+    # would be mostly padding (K=32768, B=32: 8.4 MB/window over a
+    # ~21 MB/s link).  Only a K1 prefix plus the counts are fetched
+    # eagerly; the full device arrays stay alive and the tail is pulled
+    # lazily for the rare window whose max count exceeds the prefix.
     row_dst_j = jnp.asarray(row_dst)
+    k1 = min(mask_budget, window * 128) if mask_budget is not None else None
+
+    def _start_fetch(out):
+        if mask_budget is None:
+            out.copy_to_host_async()
+            return out
+        idx, val, count = out
+        pre = (idx[:k1], val[:k1], count)
+        for o in pre:
+            o.copy_to_host_async()
+        return (pre, idx, val)
+
+    def _finish_fetch(handle):
+        if mask_budget is None:
+            return np.asarray(handle)
+        (pi, pv, pc), idx, val = handle
+        count = np.asarray(pc)
+        if count.size and int(count.max()) > k1:
+            return (np.concatenate([np.asarray(pi), np.asarray(idx[k1:])]),
+                    np.concatenate([np.asarray(pv), np.asarray(val[k1:])]),
+                    count)
+        return (np.asarray(pi), np.asarray(pv), count)
+
     beta = jnp.full((s1, b), NEG_INF)
     mask_np = []
-    prev = None  # (t0, device arrays) fetched with a one-window lag
+    prev = None  # (t0, fetch handle) finished with a one-window lag
     for w in range(nw - 1, -1, -1):
         beta, out = _fb_win_backward(
             fwd_dev, bwd_dev, row_dst_j, snaps[w], beta,
@@ -421,17 +460,13 @@ def lattice_forward_backward_rows(graph: DenseGraph, fwd_plan: EmitPlan,
             final_eff, thresh, acwt, fwd_plan.rspec, bwd_plan.rspec,
             mask_budget)
         snaps[w] = None  # free the snapshot buffer
-        if mask_budget is None:
-            out.copy_to_host_async()
-        else:
-            for o in out:
-                o.copy_to_host_async()
+        handle = _start_fetch(out)
         if prev is not None:
-            t0p, outp = prev
-            mask_np.append((t0p, jax.tree.map(np.asarray, outp)))
-        prev = (w * window, out)
-    t0p, outp = prev
-    mask_np.append((t0p, jax.tree.map(np.asarray, outp)))
+            t0p, hp = prev
+            mask_np.append((t0p, _finish_fetch(hp)))
+        prev = (w * window, handle)
+    t0p, hp = prev
+    mask_np.append((t0p, _finish_fetch(hp)))
     mask_np = mask_np[::-1]  # ascending t0
     if mask_budget is None:
         masks = np.concatenate([m for _t0, m in mask_np], axis=0)

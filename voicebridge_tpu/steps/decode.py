@@ -181,7 +181,7 @@ class Decoder:
         {utt: Lattice} with graph/acoustic costs stored separately.
 
         Survivor masks come back via the bounded-budget sparse fetch
-        (ops/lattice._sparsify_bytes): typically well under 1% of mask
+        (ops/lattice._sparsify_words): typically well under 1% of mask
         bytes are nonzero on real HCLGs, so the dense fetch would move
         ~825 MB of near-zeros per 16-utterance chunk at T=1000 on a
         90k-state graph.  A chunk whose survivor count ever exceeds the
@@ -231,13 +231,17 @@ class Decoder:
                     [nf, np.zeros(b_chunk - real, nf.dtype)])
             t_fb0 = time.perf_counter()
             ll = self._loglikes(jnp.asarray(f))
-            # nonzero-byte budget per (window, utt): ~1024 bytes/frame is
-            # >2x the worst window measured at lattice_beam 8 on the
-            # 90k-state bench graph with peaked-but-graph-inconsistent
-            # acoustics (counts 6-24k at window 16); real decodes sit far
-            # below.  Overflow falls back to the exact dense fetch for the
-            # whole chunk, so lattices are NEVER clipped on this path.
-            budget = window * 1024
+            # nonzero-WORD budget per (window, utt): 2048 words/frame is
+            # >=1.4x the worst window ever measured (23492 nonzero mask
+            # bytes <= 23492 words at window 16, lattice_beam 8, 90k-state
+            # bench graph with peaked-but-graph-inconsistent acoustics);
+            # real decodes sit 10-100x below.  The budget is nearly free
+            # to oversize: the sort-based sparsify cost is K-independent
+            # and the tiered fetch moves only a window*256 prefix unless a
+            # window actually exceeds it (ops/lattice.py).  Overflow falls
+            # back to the exact dense fetch for the whole chunk, so
+            # lattices are NEVER clipped on this path.
+            budget = window * 2048
             sparse, _best, _aend, use_final = \
                 LAT.lattice_forward_backward_rows(
                     g, self.plan, fwd_dev, bwd_plan, bwd_dev, row_dst, ll,
