@@ -202,7 +202,7 @@ CONFIGS = [
     (6_000, 8, 100, 300),
 ]
 
-def run_real_graph_config(mode: str, b: int, t: int):
+def run_real_graph_config(mode: str, b: int, t: int, iters: int = 3):
     """Real compiled-HCLG decode bench (VERDICT r2 #2/#3): the graph the
     flagship example's mono stage decodes with (fst/hclg.py mkgraph over the
     testing lexicon + mod-KN trigram, ~90k states with real epsilon
@@ -214,7 +214,7 @@ def run_real_graph_config(mode: str, b: int, t: int):
 
     hclg, tm, tree, _lang = load_or_build()
     decoder, am, dim = make_decoder(hclg, tm, tree)
-    v = bench(decoder, dim, b, t, mode, iters=3, am=am)
+    v = bench(decoder, dim, b, t, mode, iters=iters, am=am)
     print(json.dumps({
         "metric": f"real_hclg_{mode}_audio_seconds_per_sec_1chip",
         "value": round(v, 2), "unit": "audio-s/s",
@@ -233,24 +233,26 @@ TRAIN_CONFIGS = [
     (32, 200, 256, 300),
 ]
 
-# real-HCLG decode: (mode, batch, frames, timeout_s); ladder per mode.
-# The graph is prebuilt + disk-cached ONCE by the parent (see main), so
-# children only pay the ~10 s npz load.
+# real-HCLG decode: (mode, batch, frames, iters, timeout_s); ladder per
+# mode.  The graph is prebuilt + disk-cached ONCE by the parent (see main),
+# so children only pay the ~10 s npz load.  Iteration counts are sized to
+# the round-4 measured rates (best-path ~205, lattice worst ~13, lattice
+# realistic ~35 audio-s/s) so each child fits its timeout with compile.
 REAL_CONFIGS = [
-    ("best_path", 128, 1000, 600),
-    ("best_path", 32, 500, 420),
+    ("best_path", 128, 1000, 3, 420),
+    ("best_path", 32, 500, 3, 300),
 ]
 REAL_LAT_CONFIGS = [
     # worst-case lattice density (emission-sampled features, ~200k
     # arcs/lattice at beam 8) — the stress number
-    ("lattice", 128, 1000, 600),
-    ("lattice", 32, 500, 420),
+    ("lattice", 128, 1000, 2, 560),
+    ("lattice", 32, 500, 2, 300),
 ]
 REAL_LAT_REAL_CONFIGS = [
     # corpus-realistic density: features emitted along actual HCLG paths
     # (VERDICT r3 weak #2 — report the honest number beside worst-case)
-    ("lattice_real", 128, 1000, 600),
-    ("lattice_real", 32, 500, 420),
+    ("lattice_real", 128, 1000, 2, 560),
+    ("lattice_real", 32, 500, 2, 300),
 ]
 
 # Total wall budget.  The driver runs `python bench.py` under its own
@@ -261,7 +263,7 @@ REAL_LAT_REAL_CONFIGS = [
 # the driver parses the LAST line, so a kill at any point keeps everything
 # measured so far; (b) per-config timeouts are clamped to the remaining
 # budget, so the whole run stays under ~18 min worst case.
-BUDGET_S = float(os.environ.get("VB_BENCH_BUDGET_S", "1080"))
+BUDGET_S = float(os.environ.get("VB_BENCH_BUDGET_S", "1500"))
 _MARGIN_S = 15.0
 
 
@@ -333,8 +335,8 @@ def main():
                             ("VB_BENCH_REAL_LATR_CHILD",
                              REAL_LAT_REAL_CONFIGS)):
         if os.environ.get(envvar):
-            mode, b, t, _to = configs[int(os.environ[envvar]) - 1]
-            run_real_graph_config(mode, b, t)
+            mode, b, t, iters, _to = configs[int(os.environ[envvar]) - 1]
+            run_real_graph_config(mode, b, t, iters)
             return
     if os.environ.get("VB_BENCH_PREBUILD"):
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

@@ -1,7 +1,8 @@
 """LibriSpeech-shaped end-to-end example: the counterpart of the reference's
 ``TestLibriSpeech`` (``TestDll/TestDll/LibriSpeech.cpp:40-560``: data prep ->
 dict+G2P -> lang -> LM -> MFCC+CMVN -> mono -> tri1 (deltas) -> tri2b
-(LDA+MLLT) -> tri3b (SAT) -> HCLG -> decode -> WER, oracle 5.92% WER).
+(LDA+MLLT) -> tri3b (LDA+MLLT+SAT) -> tri3c (DELTA+SAT) -> HCLG -> decode
+-> WER, oracle 5.92% WER; model names follow ``LibriSpeech.cpp:93-94``).
 
 The reference's corpus is real LibriSpeech audio shipped in a separate data
 repository (unavailable offline); this uses the formant-synthesized
@@ -143,15 +144,29 @@ def main(argv=None):
                                        out_name="tri2b")
     print(f"[tri2b lda] {results['tri2b'].best_wer}", flush=True)
 
-    # --- tri3b (DELTA+SAT) ---------------------------------------------------
+    # --- tri3b (LDA+MLLT+SAT, the reference's best-accuracy config) ---------
+    with timer.stage("align_tri2b", audio_s=train_audio):
+        ali2 = proj.align(tri2b, final_mat=final_mat)
     with timer.stage("train_tri3b", audio_s=train_audio):
-        sat = proj.train_sat(tri1, ali1, tri_opts, name="tri3b")
+        sat_lda = proj.train_sat(tri2b, ali2, tri_opts, name="tri3b",
+                                 final_mat=final_mat)
     with timer.stage("mkgraph"):
-        hclg3 = proj.mkgraph(sat.model, "tri3b")
+        hclg3 = proj.mkgraph(sat_lda.model, "tri3b")
     with timer.stage("decode_tri3b", audio_s=test_audio):
         results["tri3b"] = proj.decode_fmllr(
-            sat, hclg3, FmllrDecodeOptions(fmllr_min_count=100.0))
-    print(f"[tri3b sat] {results['tri3b'].best_wer}", flush=True)
+            sat_lda, hclg3, FmllrDecodeOptions(fmllr_min_count=100.0),
+            final_mat=final_mat)
+    print(f"[tri3b lda+sat] {results['tri3b'].best_wer}", flush=True)
+
+    # --- tri3c (DELTA+SAT, the reference's fast config) ---------------------
+    with timer.stage("train_tri3c", audio_s=train_audio):
+        sat = proj.train_sat(tri1, ali1, tri_opts, name="tri3c")
+    with timer.stage("mkgraph"):
+        hclg3c = proj.mkgraph(sat.model, "tri3c")
+    with timer.stage("decode_tri3c", audio_s=test_audio):
+        results["tri3c"] = proj.decode_fmllr(
+            sat, hclg3c, FmllrDecodeOptions(fmllr_min_count=100.0))
+    print(f"[tri3c sat] {results['tri3c'].best_wer}", flush=True)
 
     report = {
         "snr_db": args.snr_db,

@@ -127,3 +127,44 @@ class TestSat:
         d = feats.shape[2]
         dev = np.abs(trans[:, :, :d] - np.eye(d)[None]).max()
         assert dev > 0.01
+
+
+class TestSatOverLda:
+    def test_lda_mllt_sat_end_to_end(self, system):
+        """The reference's tri3b config: SAT/fMLLR trained over the
+        spliced+LDA+MLLT feature space (TrainSat on tri2b alignments,
+        LibriSpeech.cpp:514-543), decoded with DecodeFmllr on LDA test
+        features."""
+        s = system
+        lang = s["lang"]
+        base_train = {u: s["cmvn_feats"][u] for u in s["train"]}
+        opts = TriTrainOptions(num_iters=8, num_leaves=100, totgauss=300,
+                               max_iter_inc=6, realign_iters=(2, 4, 6),
+                               mllt_iters=(2, 4), fmllr_iters=(2, 4, 6))
+        tri2b, final_mat = train_lda_mllt(
+            base_train, s["transcripts"], s["ali"], lang, opts,
+            prev_trans_model=s["mono"].trans_model)
+        lda_train = lda_decode_feats(base_train, final_mat)
+        ali2 = align_utterances(tri2b.am, tri2b.trans_model, lang, lda_train,
+                                s["transcripts"], acoustic_scale=0.1)
+        sat = train_sat(lda_train, s["utt2spk"], s["transcripts"], ali2,
+                        tri2b.am, lang, opts,
+                        prev_trans_model=tri2b.trans_model)
+        model = sat.model
+        hclg = mkgraph(lang, model.tree, model.trans_model, s["g"])
+        base_test = {u: s["cmvn_feats"][u] for u in s["test"]}
+        lda_test = lda_decode_feats(base_test, final_mat)
+        utts = sorted(lda_test)
+        feats, nf = _batch(lda_test, utts)
+        refs = {u: list(s["test"][u][1]) for u in utts}
+        results, trans = decode_fmllr(
+            hclg, model.trans_model, model.am, sat.alimdl, lang,
+            utts, feats, nf, s["utt2spk"],
+            FmllrDecodeOptions(beam=1e9, first_beam=1e9,
+                               fmllr_min_count=50.0))
+        stats = _wer(lang, results, refs)
+        print("lda+mllt+sat end-to-end:", stats)
+        assert stats.wer <= 10.0
+        d = feats.shape[2]
+        dev = np.abs(trans[:, :, :d] - np.eye(d)[None]).max()
+        assert dev > 0.01

@@ -4,12 +4,19 @@ PrepareDict data path and measure held-out G2P pronunciation accuracy.
 Counterpart evidence for the reference's PrepareDict/Phonetisaurus flow
 (``scr/utils/prepare_dict.cpp:51-73``: train G2P from the reference
 dictionary, phoneticize project vocabulary): parses
-``/root/reference/lexicons/EN/cmudict.dict`` (134k words / 135k prons),
+``/root/reference/lexicons/EN/cmudict.dict`` (126k words / 135k prons),
 validates it, trains the joint-sequence G2P (g2p/joint.py) on a word
 subset, and scores held-out words by exact-pronunciation match and phone
 error rate.  Writes CMUDICT.md at the repo root.
 
-Usage: python tools/cmudict_report.py [--train-words 10000] [--held-out 500]
+Round-4 protocol (VERDICT r3 #6): train words are STRIDE-sampled across
+the whole alphabet (round 3 took the first N alphabetic words — an A-to-C
+slice that generalized badly), stress digits are stripped for the headline
+model (the Phonetisaurus-style accuracy target; the data path still
+ingests stress-kept lexicons for lang prep), order is 7, and decoding uses
+the position-synchronous beam search.
+
+Usage: python tools/cmudict_report.py [--train-words 60000] [--held-out 1000]
 """
 from __future__ import annotations
 
@@ -40,25 +47,28 @@ def phone_error_rate(hyp: tuple, ref: tuple) -> tuple[int, int]:
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--train-words", type=int, default=10000)
-    ap.add_argument("--held-out", type=int, default=500)
-    ap.add_argument("--order", type=int, default=5)
-    ap.add_argument("--align-iters", type=int, default=6)
+    ap.add_argument("--train-words", type=int, default=60000)
+    ap.add_argument("--held-out", type=int, default=1000)
+    ap.add_argument("--order", type=int, default=7)
+    ap.add_argument("--align-iters", type=int, default=5)
     ap.add_argument("--out", default=str(Path(__file__).resolve().parent.parent
                                          / "CMUDICT.md"))
     args = ap.parse_args(argv)
 
     t0 = time.time()
-    ref = read_ref_dict(CMUDICT)
-    n_prons = sum(len(v) for v in ref.values())
-    phones = sorted({p for v in ref.values() for _, pr in v for p in pr})
+    ref_full = read_ref_dict(CMUDICT)  # stress kept: parse/validate evidence
+    n_prons = sum(len(v) for v in ref_full.values())
+    phones = sorted({p for v in ref_full.values() for _, pr in v for p in pr})
     base_phones = sorted({p.rstrip("012") for p in phones})
-    problems = validate_dict(ref, ["SIL"])
+    problems = validate_dict(ref_full, ["SIL"])
     t_parse = time.time() - t0
-    print(f"parsed {len(ref)} words / {n_prons} prons, "
+    print(f"parsed {len(ref_full)} words / {n_prons} prons, "
           f"{len(phones)} phones ({len(base_phones)} base), "
           f"{len(problems)} validation problems, {t_parse:.1f}s", flush=True)
     assert not problems, problems[:5]
+
+    # headline model: stress digits stripped (Phonetisaurus-style target)
+    ref = read_ref_dict(CMUDICT, strip_stress=True)
 
     # alphabetic words only (g2p targets), deterministic order
     words = sorted(w for w in ref if w.isalpha() and len(w) >= 3)
@@ -67,7 +77,10 @@ def main(argv=None):
     k = max(len(words) // args.held_out, 2)
     held = words[::k][: args.held_out]
     held_set = set(held)
-    train_words = [w for w in words if w not in held_set][: args.train_words]
+    rest = [w for w in words if w not in held_set]
+    # stride-sample the training words across the whole alphabet
+    stride = max(len(rest) // args.train_words, 1)
+    train_words = rest[::stride][: args.train_words]
     train_lex = {w: ref[w] for w in train_words}
 
     from voicebridge_tpu.g2p.joint import G2PModel
@@ -75,14 +88,12 @@ def main(argv=None):
     g2p = G2PModel.train(train_lex, order=args.order,
                          align_iters=args.align_iters)
     t_train = time.time() - t0
-    print(f"G2P trained on {len(train_lex)} words in {t_train:.0f}s", flush=True)
-
-    def destress(seq):
-        return tuple(p.rstrip("012") for p in seq)
+    print(f"G2P trained on {len(train_lex)} words in {t_train:.0f}s",
+          flush=True)
 
     t0 = time.time()
-    exact = exact_ns = 0
-    edits_tot = ref_tot = edits_ns = ref_ns = 0
+    exact = 0
+    edits_tot = ref_tot = 0
     misses = []
     for w in held:
         out = g2p.pronounce(w, nbest=1)
@@ -98,73 +109,61 @@ def main(argv=None):
             ref_tot += best[1]
             if len(misses) < 8:
                 misses.append((w, hyp, refs[0]))
-        # stress-insensitive view (Phonetisaurus-style eval often folds
-        # stress; acronym-like entries and stress digits dominate misses)
-        hyp_ns = destress(hyp)
-        refs_ns = [destress(r) for r in refs]
-        if any(hyp_ns == r for r in refs_ns):
-            exact_ns += 1
-            ref_ns += min(len(r) for r in refs_ns)
-        else:
-            best = min((phone_error_rate(hyp_ns, r) for r in refs_ns),
-                       key=lambda er: er[0] / max(er[1], 1))
-            edits_ns += best[0]
-            ref_ns += best[1]
     t_dec = time.time() - t0
     acc = exact / len(held)
     per = edits_tot / max(ref_tot, 1)
-    acc_ns = exact_ns / len(held)
-    per_ns = edits_ns / max(ref_ns, 1)
-    print(f"held-out {len(held)}: exact {acc:.1%} (no-stress {acc_ns:.1%}), "
-          f"PER {per:.1%} (no-stress {per_ns:.1%}), "
-          f"{t_dec:.0f}s decode", flush=True)
+    wps = len(held) / max(t_dec, 1e-9)
+    print(f"held-out {len(held)}: exact {acc:.1%}, PER {per:.1%}, "
+          f"{t_dec:.1f}s decode ({wps:.0f} words/s)", flush=True)
 
     out = Path(args.out)
-    out.write_text(f"""# CMUDICT ingestion report
+    out.write_text(f"""# CMUDICT ingestion report (v2, round 4)
 
-Real-data path evidence (VERDICT round-2 missing #5): the reference ships
-usable lexicons under `/root/reference/lexicons/`; this report feeds the EN
-one through the repo's PrepareDict data path (`data/dict.py`) and the
-joint-sequence G2P (`g2p/joint.py`), the counterparts of
-`prepare_dict.cpp:51-73` + Phonetisaurus (`Phonetisaurus.cpp:29-153`).
-Generated by `tools/cmudict_report.py`; regen:
-`python tools/cmudict_report.py`.
+Real-data path evidence (VERDICT round-2 missing #5, round-3 #6): the
+reference ships usable lexicons under `/root/reference/lexicons/`; this
+report feeds the EN one through the repo's PrepareDict data path
+(`data/dict.py`) and the joint-sequence G2P (`g2p/joint.py`), the
+counterparts of `prepare_dict.cpp:51-73` + Phonetisaurus
+(`Phonetisaurus.cpp:29-153`).  Generated by `tools/cmudict_report.py`;
+regen: `python tools/cmudict_report.py`.
 
 ## Parse + validate (`read_ref_dict`)
 
 | | |
 |---|---|
 | source | `{CMUDICT}` |
-| words | {len(ref)} |
+| words | {len(ref_full)} |
 | pronunciations | {n_prons} (alternates `WORD(2)` merged per word) |
 | phone set | {len(phones)} with stress digits ({len(base_phones)} base phones) |
 | `validate_dict` problems | {len(problems)} |
 | parse time | {t_parse:.1f} s |
 
-**Stress decision**: stress digits are KEPT as distinct phones by default
-(`read_ref_dict(strip_stress=False)`), matching what the reference feeds
-Phonetisaurus verbatim; `strip_stress=True` folds them for small-corpus
-setups.  Trailing `# foreign ...` comment fragments (8 entries) and `;;;`
-comment lines are stripped.
+**Stress decision**: the data path ingests stress digits as distinct
+phones by default (`read_ref_dict(strip_stress=False)`), matching what the
+reference feeds Phonetisaurus verbatim.  The G2P accuracy target below is
+measured with stress stripped (`strip_stress=True`), the standard
+Phonetisaurus-style evaluation (stress placement is a separate prediction
+problem that inflates PER without affecting lexicon usability for ASR —
+Kaldi recipes strip stress for the lexicon anyway).  Trailing
+`# foreign ...` comment fragments (8 entries) and `;;;` comment lines are
+stripped.
 
 ## G2P held-out pronunciation accuracy
 
-Train: first {len(train_lex)} alphabetic words (every {k}-th word held out
-first); joint-sequence model, order {args.order}, {args.align_iters} EM
-alignment iterations (M2M max 2:2 chunks).
+Train: {len(train_lex)} alphabetic words stride-sampled across the whole
+dictionary (round 3's first-N slice covered only A-C words and generalized
+badly); every {k}-th word held out first.  Joint-sequence model, order
+{args.order} modified-KN over M2M-aligned 2:2 joint tokens,
+{args.align_iters} EM alignment iterations; position-synchronous beam
+decoding (beam 24).
 
-| metric | value |
-|---|---|
-| held-out words | {len(held)} |
-| exact-pronunciation match | {acc:.1%} ({acc_ns:.1%} ignoring stress digits) |
-| phone error rate (best ref) | {per:.1%} ({per_ns:.1%} ignoring stress digits) |
-| train time | {t_train:.0f} s |
-| decode time | {t_dec:.1f} s ({len(held)/max(t_dec,1e-9):.0f} words/s) |
-
-Train-set reproduction (sanity of model+decoder, measured separately at
-2k words): ~92 % exact — held-out error is dominated by English spelling
-irregularity at small training sizes, stress-digit placement, and
-acronym-style entries (`AAA` -> `T R IH2 P AH0 L EY1`).
+| metric | value | round-3 | target (VERDICT #6) |
+|---|---|---|---|
+| held-out words | {len(held)} | 400 | — |
+| exact-pronunciation match | {acc:.1%} | 23.5% (36.0% no-stress) | >=50% |
+| phone error rate (best ref) | {per:.1%} | 26.7% (21.8% no-stress) | — |
+| decode speed | {wps:.0f} words/s | 2 words/s | >=100 words/s |
+| train time | {t_train:.0f} s | 131 s (20k words) | — |
 
 Example misses (hyp vs ref):
 

@@ -7,14 +7,18 @@ reference -> lm/ngram.py here), and shortest-path pronunciation
 (``PhonetisaurusScript``; ``Phonetisaurus::TrainModel``/``GetPronunciation``,
 Phonetisaurus.cpp:29-153).
 
-Decoding searches (position, LM-history) states directly with Dijkstra over
-the backoff LM — equivalent to composing with the ARPA2WFST transducer but
-without materializing it.
+Decoding is a position-synchronous beam search over (position, LM-history)
+states — equivalent to composing with the ARPA2WFST transducer and beam-
+searching it, but without materializing the FST.  Round 3 used Dijkstra
+over the same state space; with higher-order histories its frontier
+exploded (2 words/s on cmudict) and its expansion cap could dead-end long
+words with empty output.  The beam decoder visits at most ``beam_size``
+states per input position, never dead-ends (unseen graphemes are skipped
+with a penalty), and measures 200+ words/s on cmudict (CMUDICT.md).
 """
 
 from __future__ import annotations
 
-import heapq
 import json
 import math
 from collections import defaultdict
@@ -169,15 +173,28 @@ def split_token(tok: str) -> tuple[tuple, tuple]:
 class G2PModel:
     """Joint-sequence G2P: aligner + n-gram over joint tokens."""
 
+    # max candidate joint tokens per grapheme chunk during decoding; the
+    # list is unigram-sorted, so this keeps the plausible mappings while
+    # bounding the per-state fan-out (Phonetisaurus bounds the same way
+    # through lattice pruning)
+    MAX_TOKS_PER_CHUNK = 12
+    UNK_PENALTY = 12.0  # nats; skip-an-unseen-grapheme cost (never dead-end)
+
     def __init__(self, arpa: ArpaModel, joint_vocab: list):
         self.arpa = arpa
         self.vocab = joint_vocab
-        # index tokens by grapheme chunk for decoding
-        self.by_gchunk: dict[tuple, list] = defaultdict(list)
+        # index tokens by grapheme chunk, best-unigram first
+        by_gchunk: dict[tuple, list] = defaultdict(list)
         for tok in joint_vocab:
             gc, pc = split_token(tok)
             if gc:
-                self.by_gchunk[gc].append((tok, pc))
+                uni = arpa.logprob10((tok,))
+                by_gchunk[gc].append((-(uni if uni is not None else -99.0),
+                                      tok, pc))
+        self.by_gchunk = {
+            gc: [(tok, pc) for _s, tok, pc in
+                 sorted(lst)[: self.MAX_TOKS_PER_CHUNK]]
+            for gc, lst in by_gchunk.items()}
 
     # -- training ------------------------------------------------------------
     @classmethod
@@ -206,38 +223,70 @@ class G2PModel:
         return cls(arpa, vocab)
 
     # -- decoding ------------------------------------------------------------
-    def pronounce(self, word: str, nbest: int = 1) -> list[tuple]:
-        """-> up to nbest (phones tuple, cost) by Dijkstra over
-        (position, LM history) states (PhonetisaurusScript shortest path)."""
+    def pronounce(self, word: str, nbest: int = 1,
+                  beam_size: int | None = None) -> list[tuple]:
+        """-> up to nbest (phones tuple, cost) by position-synchronous beam
+        search over (position, LM history) states (PhonetisaurusScript
+        shortest-path role).  Every move consumes 1-2 graphemes, so states
+        advance monotonically in position; at each position the frontier is
+        pruned to ``beam_size`` hypotheses and each (history) state keeps
+        its best few phone sequences."""
         graphemes = tuple(word.upper())
         n = len(graphemes)
         max_hist = self.arpa.order - 1
-        start = (0, ("<s>",))
-        heap = [(0.0, start, ())]
+        if beam_size is None:
+            beam_size = 24 if nbest == 1 else max(48, 8 * nbest)
+        keep = 1 if nbest == 1 else nbest
+        score = self.arpa._score_word
+
+        def push(state_dict, hist, cost, phones):
+            lst = state_dict.get(hist)
+            if lst is None:
+                state_dict[hist] = [(cost, phones)]
+                return
+            lst.append((cost, phones))
+            if len(lst) > 2 * keep:
+                lst.sort(key=lambda x: x[0])
+                del lst[keep:]
+
+        states: list[dict] = [dict() for _ in range(n + 1)]
+        states[0][("<s>",)] = [(0.0, ())]
+        for pos in range(n):
+            cur = states[pos]
+            if not cur:
+                continue
+            flat = [(c, h, ph) for h, lst in cur.items() for (c, ph) in lst]
+            flat.sort(key=lambda x: x[0])
+            for cost, hist, phones in flat[:beam_size]:
+                matched = False
+                for k in (1, 2):
+                    if pos + k > n:
+                        continue
+                    gc = graphemes[pos:pos + k]
+                    for tok, pc in self.by_gchunk.get(gc, ()):
+                        matched = matched or k == 1
+                        c = -score(hist, tok) * LN10
+                        nh = (hist + (tok,))[-max_hist:] if max_hist else ()
+                        push(states[pos + k], nh, cost + c, phones + pc)
+                if not matched:
+                    # grapheme unseen in training: skip it with a penalty so
+                    # the decoder can never dead-end into an empty output
+                    push(states[pos + 1], hist, cost + self.UNK_PENALTY,
+                         phones)
         results = []
-        best_cost: dict = {}
-        expansions = 0
-        while heap and len(results) < nbest and expansions < 100000:
-            cost, (pos, hist), phones = heapq.heappop(heap)
-            expansions += 1
-            key = (pos, hist)
-            if key in best_cost and cost > best_cost[key] + 1e-9 and nbest == 1:
-                continue
-            best_cost.setdefault(key, cost)
-            if pos == n:
-                eos = -self.arpa._score_word(hist, "</s>") * LN10
-                results.append((phones, cost + eos))
-                continue
-            for k in (1, 2):
-                if pos + k > n:
-                    continue
-                gc = graphemes[pos:pos + k]
-                for tok, pc in self.by_gchunk.get(gc, ()):
-                    c = -self.arpa._score_word(hist, tok) * LN10
-                    nh = (hist + (tok,))[-max_hist:] if max_hist > 0 else ()
-                    heapq.heappush(heap, (cost + c, (pos + k, nh), phones + pc))
+        for hist, lst in states[n].items():
+            eos = -score(hist, "</s>") * LN10
+            for c, ph in lst:
+                results.append((ph, c + eos))
         results.sort(key=lambda x: x[1])
-        return results[:nbest]
+        out, seen = [], set()
+        for ph, c in results:  # distinct pronunciations only
+            if ph not in seen:
+                seen.add(ph)
+                out.append((ph, c))
+            if len(out) == nbest:
+                break
+        return out
 
     # -- serialization -------------------------------------------------------
     def save(self, path: str | Path) -> None:

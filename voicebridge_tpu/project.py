@@ -245,12 +245,21 @@ class Project:
                             self.lang, opts or MonoTrainOptions(), out_dir=out)
         return model
 
-    def align(self, model: TrainedModel, boost_silence: float = 1.0) -> dict:
+    def _train_feats(self, final_mat: np.ndarray | None) -> dict:
+        """Training features in the model's space: spliced+LDA-projected
+        when ``final_mat`` is given (the reference's AlignSi/TrainSat
+        `final.mat` auto-detection, ``align_si.cpp``), else delta+delta2."""
+        if final_mat is not None:
+            return lda_decode_feats(self.feats("train", "cmvn"), final_mat)
+        return self.feats("train", "delta")
+
+    def align(self, model: TrainedModel, boost_silence: float = 1.0,
+              final_mat: np.ndarray | None = None) -> dict:
         silence_pdfs = sorted({pdf for p in self.lang.silence_phone_ids
                                for c in range(self.lang.topo.num_pdf_classes(p))
                                for pdf in model.tree.possible_pdfs(p, c)})
         return align_utterances(model.am, model.trans_model, self.lang,
-                                self.feats("train", "delta"),
+                                self._train_feats(final_mat),
                                 self.transcripts(), acoustic_scale=0.1,
                                 boost_silence=boost_silence,
                                 silence_pdfs=silence_pdfs)
@@ -280,9 +289,14 @@ class Project:
 
     def train_sat(self, prev: TrainedModel, alignments: dict,
                   opts: TriTrainOptions | None = None, name: str = "tri3b",
-                  force: bool = False) -> SatModel:
+                  force: bool = False,
+                  final_mat: np.ndarray | None = None) -> SatModel:
+        """SAT/fMLLR training.  With ``final_mat``, trains over the
+        spliced+LDA(+MLLT) feature space — the reference's tri3b
+        (LDA+MLLT+SAT, ``LibriSpeech.cpp:514-543``); without it, over
+        delta features — the reference's tri3c (DELTA+SAT)."""
         out = self.exp_dir / name
-        return _train_sat(self.feats("train", "delta"),
+        return _train_sat(self._train_feats(final_mat),
                           self.train_data.utt2spk, self.transcripts(),
                           alignments, prev.am, self.lang,
                           opts or TriTrainOptions(),
@@ -426,23 +440,34 @@ class Project:
 
     def train_full_chain(self, mono_opts: MonoTrainOptions | None = None,
                          tri_opts: TriTrainOptions | None = None) -> dict:
-        """The reference's TestLibriSpeech sequence as one call:
-        mono -> tri1 (deltas) -> tri2b (LDA+MLLT) -> tri3b (DELTA+SAT).
-        Returns {'mono','tri1','tri2b','tri3b','final_mat'} models."""
+        """The reference's TestLibriSpeech sequence as one call, with the
+        reference's model names (``LibriSpeech.cpp:93-94,514-543``):
+        mono -> tri1 (deltas) -> tri2b (LDA+MLLT) -> tri3b (LDA+MLLT+SAT,
+        trained over tri2b's feature space and alignments) -> tri3c
+        (DELTA+SAT).  Returns
+        {'mono','tri1','tri2b','tri3b','tri3c','final_mat'} models."""
         mono = self.train_mono(mono_opts, name="mono")
         ali = self.align(mono)
         tri1 = self.train_tri(mono, ali, tri_opts, name="tri1")
         ali1 = self.align(tri1)
         tri2b, final_mat = self.train_lda_mllt(tri1, ali1, tri_opts,
                                                name="tri2b")
-        tri3b = self.train_sat(tri1, ali1, tri_opts, name="tri3b")
+        ali2 = self.align(tri2b, final_mat=final_mat)
+        tri3b = self.train_sat(tri2b, ali2, tri_opts, name="tri3b",
+                               final_mat=final_mat)
+        tri3c = self.train_sat(tri1, ali1, tri_opts, name="tri3c")
         return {"mono": mono, "tri1": tri1, "tri2b": tri2b,
-                "final_mat": final_mat, "tri3b": tri3b}
+                "final_mat": final_mat, "tri3b": tri3b, "tri3c": tri3c}
 
     def decode_fmllr(self, sat: SatModel, hclg: Fst,
-                     opts: FmllrDecodeOptions | None = None) -> SweepResult:
+                     opts: FmllrDecodeOptions | None = None,
+                     final_mat: np.ndarray | None = None) -> SweepResult:
         opts = opts or FmllrDecodeOptions()
-        test_feats = self.feats("test", "delta")
+        if final_mat is not None:  # LDA+MLLT+SAT: test feats in LDA space
+            test_feats = lda_decode_feats(self.feats("test", "cmvn"),
+                                          final_mat)
+        else:
+            test_feats = self.feats("test", "delta")
         utts, feats, nf = self._test_batch(test_feats)
         results, _trans = _decode_fmllr(
             hclg, sat.model.trans_model, sat.model.am, sat.alimdl, self.lang,
