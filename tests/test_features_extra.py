@@ -63,25 +63,79 @@ class TestResample:
 
 
 class TestPitch:
+    """Golden-style semantic tests of the Kaldi-fidelity tracker on
+    synthesized tones (pitch-functions.{h,cc} contract, VERDICT r3 #7)."""
+
+    def _tone(self, sr, f0, secs=1.0, harmonics=(1.0, 0.5)):
+        t = np.arange(int(sr * secs)) / sr
+        return sum(a * np.sin(2 * np.pi * (k + 1) * f0 * t)
+                   for k, a in enumerate(harmonics)).astype(np.float32)
+
     def test_tracks_tone_frequency(self):
         sr = 8000.0
-        t = np.arange(8000) / sr
         f0 = 150.0
-        wave = (np.sin(2 * np.pi * f0 * t) +
-                0.5 * np.sin(2 * np.pi * 2 * f0 * t)).astype(np.float32)
+        wave = self._tone(sr, f0) * 5000
+        opts = PitchOptions(samp_freq=sr)
+        from voicebridge_tpu.ops.pitch import compute_kaldi_pitch
+
+        raw = compute_kaldi_pitch(wave, opts)
+        assert raw.shape[1] == 2  # (nccf_pov, pitch_hz)
+        mid = raw[len(raw) // 4: -len(raw) // 4, 1]
+        assert abs(np.median(mid) - f0) < 10, np.median(mid)
+        # voiced tone => POV probability near 1
+        from voicebridge_tpu.ops.pitch import nccf_to_pov
+
+        assert nccf_to_pov(raw[:, 0]).mean() > 0.8
+
+    def test_pov_contrast_voiced_vs_noise(self):
+        sr = 8000.0
+        rng = np.random.default_rng(0)
+        tone = self._tone(sr, 180.0) * 5000
+        noise = rng.standard_normal(len(tone)).astype(np.float32) * 5000
+        from voicebridge_tpu.ops.pitch import compute_kaldi_pitch, nccf_to_pov
+
+        opts = PitchOptions(samp_freq=sr)
+        pov_t = nccf_to_pov(compute_kaldi_pitch(tone, opts)[:, 0]).mean()
+        pov_n = nccf_to_pov(compute_kaldi_pitch(noise, opts)[:, 0]).mean()
+        assert pov_t > 0.8 and pov_n < 0.4, (pov_t, pov_n)
+
+    def test_processed_contract_and_delta_sign(self):
+        """Default 3-dim output (pov, normalized-log-pitch, delta-pitch);
+        a rising pitch glide gives positive delta-pitch, and the normalized
+        log pitch is ~zero-mean over the utterance."""
+        sr = 8000.0
+        secs = 1.2
+        t = np.arange(int(sr * secs)) / sr
+        f0 = 120.0 * np.exp(0.4 * t)  # glide 120 -> ~193 Hz
+        phase = 2 * np.pi * np.cumsum(f0) / sr
+        wave = (np.sin(phase) + 0.5 * np.sin(2 * phase)).astype(np.float32)
         opts = PitchOptions(samp_freq=sr)
         feats = compute_pitch_feats(wave * 5000, opts)
         assert feats.shape[1] == 3
-        # recover f0 from the unnormalized track: use nccf/viterbi directly
-        from voicebridge_tpu.ops.pitch import compute_nccf, viterbi_pitch
+        mid = slice(len(feats) // 4, -len(feats) // 4)
+        assert feats[mid, 2].mean() > 0.0  # rising => positive delta
+        assert abs(feats[mid, 1].mean()) < 1.0  # mean-normalized
+        # raw-log-pitch column appears when requested and tracks log f0
+        from voicebridge_tpu.ops.pitch import (ProcessPitchOptions,
+                                               compute_kaldi_pitch,
+                                               process_pitch)
 
-        nccf, lags = compute_nccf(wave * 5000, opts)
-        track = viterbi_pitch(nccf, lags, opts)
-        f0_est = sr / lags[track]
-        mid = f0_est[len(f0_est) // 4: -len(f0_est) // 4]
-        assert abs(np.median(mid) - f0) < 10, np.median(mid)
-        # voiced tone => high POV
-        assert feats[:, 0].mean() > 0.3
+        raw = compute_kaldi_pitch(wave * 5000, opts)
+        full = process_pitch(raw, ProcessPitchOptions(add_raw_log_pitch=True))
+        assert full.shape[1] == 4
+        k = len(raw) // 2
+        assert abs(full[k, 3] - np.log(raw[k, 1])) < 1e-4
+
+    def test_delta_pitch_noise_deterministic_per_seed(self):
+        sr = 8000.0
+        wave = self._tone(sr, 150.0) * 5000
+        opts = PitchOptions(samp_freq=sr)
+        a = compute_pitch_feats(wave, opts, seed=1)
+        b = compute_pitch_feats(wave, opts, seed=1)
+        c = compute_pitch_feats(wave, opts, seed=2)
+        np.testing.assert_array_equal(a, b)
+        assert not np.array_equal(a[:, 2], c[:, 2])  # noise differs
+        np.testing.assert_array_equal(a[:, :2], c[:, :2])  # others don't
 
     def test_paste(self):
         a = np.zeros((10, 4), np.float32)
@@ -238,3 +292,25 @@ class TestCmvnVariants:
         mv = cmvn.modify_cmvn_stats(stats, convert_to_mean_and_var=True)
         np.testing.assert_allclose(mv[0], a.mean(0), rtol=1e-4)
         np.testing.assert_allclose(mv[1], a.var(0), rtol=1e-3)
+
+
+class TestMakeMfccPitch:
+    def test_composite_frontend(self):
+        """MakeMfccPitch role (scr/steps/make_mfcc_pitch.cpp): MFCC+pitch
+        pasted, then CMVN+deltas over the 16-dim composite."""
+        from voicebridge_tpu.config import FrameOptions, MfccOptions
+        from voicebridge_tpu.steps.make_feats import make_features
+
+        sr = 16000.0
+        t = np.arange(16000) / sr
+        waves = {
+            "u1": (np.sin(2 * np.pi * 150 * t) * 5000).astype(np.float32),
+            "u2": (np.sin(2 * np.pi * 220 * t) * 5000).astype(np.float32),
+        }
+        utt2spk = {"u1": "s1", "u2": "s1"}
+        opts = MfccOptions(frame_opts=FrameOptions(samp_freq=sr, dither=0.0))
+        out = make_features(waves, utt2spk, opts, pitch=True)
+        assert set(out) == {"u1", "u2"}
+        # 13 MFCC + 3 pitch = 16 base dims, x3 after delta+delta-delta
+        assert out["u1"].shape[1] == 48
+        assert np.isfinite(out["u1"]).all()
