@@ -25,6 +25,13 @@ import time
 
 import numpy as np
 
+# Persistent XLA compilation cache, shared by the parent and every child
+# (children inherit the env): the windowed lattice FB costs ~250 s to
+# compile cold on this worker vs ~35 s with a warm on-disk cache — without
+# it the worst-case-lattice bench children spend their whole timeout slot
+# compiling (round 4, measured).  Set BEFORE any jax import in this process.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/vb_jax_cache")
+
 
 def synth_decode_graph(num_states=60_000, arcs_per_state=8, num_pdfs=2000, seed=0):
     """Synthetic HCLG-shaped arc arrays: locally-branching transition

@@ -18,9 +18,14 @@ Usage: python examples/librispeech_shaped.py [workdir] [--speakers N]
 
 import argparse
 import json
+import os
 import sys
 import time
 from pathlib import Path
+
+# persistent XLA compile cache: the decode/lattice window programs cost
+# minutes to compile cold on this worker (see bench.py); warm runs skip it
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/vb_jax_cache")
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 

@@ -22,9 +22,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 from pathlib import Path
+
+# persistent XLA compile cache (see bench.py): the lattice window programs
+# compile in ~250 s cold / ~35 s warm on this worker
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/vb_jax_cache")
 
 import numpy as np
 

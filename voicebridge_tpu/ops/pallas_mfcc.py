@@ -243,10 +243,20 @@ class MfccPallas:
         def frames_of(wave):
             return extract_frames(wave, max_frames, fo)
 
-        frames = jax.vmap(frames_of)(waves).reshape(b * max_frames, -1)
+        frames = jax.vmap(frames_of)(waves)
         key = None
         if dither_keys is not None and fo.dither != 0.0:
-            key = dither_keys[0] if dither_keys.ndim > 1 else dither_keys
+            if dither_keys.ndim > 1:
+                # per-utterance keys: fold each utterance's noise into its
+                # own frame rows BEFORE flattening, so dithered features
+                # stay deterministic per utterance regardless of bucket
+                # composition (matches the XLA path's vmap-keyed dither)
+                frames = frames + fo.dither * jax.vmap(
+                    lambda k, f: jax.random.normal(k, f.shape))(
+                        dither_keys, frames)
+            else:
+                key = dither_keys
+        frames = frames.reshape(b * max_frames, -1)
         feats = self.frames_to_feats(frames, key)
         feats = feats.reshape(b, max_frames, -1)
         counts = jnp.where(
