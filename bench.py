@@ -173,6 +173,8 @@ def run_train_config(b: int, t: int, s: int):
     feats = jnp.asarray(rng.standard_normal((b, t, dim)), jnp.float32)
     nf = np.full((b,), t, np.int32)
 
+    ones_w = jnp.ones((b * t,), jnp.float32)
+
     def em_iter():
         ll = loglikes_batch_pallas(params_p, feats, num_pdfs)
         alis = aset.align(ll, nf, acoustic_scale=0.1)
@@ -180,8 +182,15 @@ def run_train_config(b: int, t: int, s: int):
         for i, r in enumerate(alis):
             assert len(r["arcs"]) == t, "alignment failed"
             pdf_ids[i] = graphs[i].arc_pdf[r["arcs"]]
-        stats = K.acc_gmm_stats(params, feats.reshape(-1, dim),
-                                jnp.asarray(pdf_ids).reshape(-1), num_pdfs)
+        # the production E-step path (steps/train_mono.py:119 ->
+        # acc_gmm_stats_aligned): gathers only each frame's aligned pdf's
+        # components.  Round <=4 measured acc_gmm_stats (all-pdfs [N,P,M],
+        # a 3 GB intermediate no training step uses) — that non-production
+        # accumulator plus per-iteration re-upload of the band plan
+        # (steps/align.py DeviceBandPlan) was the round-4 "train halving".
+        stats = K.acc_gmm_stats_aligned(params, feats.reshape(-1, dim),
+                                        jnp.asarray(pdf_ids).reshape(-1),
+                                        num_pdfs, ones_w)
         jax.block_until_ready(stats)
 
     import jax

@@ -9,6 +9,8 @@ own graphs ([B, S] state scores, SURVEY.md §2.6 P1).
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -30,11 +32,52 @@ _UNSET = object()
 _NO_PRUNE_BEAM = 1e8
 
 
-def align_banded(plan: AB.BandPlan, graphs: list, loglikes, num_frames,
-                 acoustic_scale: float):
+class DeviceBandPlan(NamedTuple):
+    """Device-resident mirror of :class:`ops.align_band.BandPlan`.
+
+    The plan arrays are invariant across EM iterations; re-uploading them on
+    every ``align`` call costs ~7 host->device transfers whose fixed tunnel
+    latency dominated the banded kernel's actual device time (profiled round
+    5: align 199-245 ms wall vs 91 ms device work at B=192/S=384/T=512 — the
+    source of the driver-environment sensitivity of the train-EM bench).
+    Upload once, reuse every iteration."""
+
+    W: jnp.ndarray  # [B, S, K] f32
+    pdf: jnp.ndarray  # [B, S] int32
+    arc_of: jnp.ndarray  # [B, S, K] int32
+    offsets: tuple  # K static ints (jit-static arg)
+    offsets_arr: jnp.ndarray  # [K] int32 (backtrace operand)
+    alpha0: jnp.ndarray  # [B, S] f32
+    final: jnp.ndarray  # [B, S] f32
+    n2o: np.ndarray  # [B, S] HOST int32 (only used after the fetch)
+
+    @classmethod
+    def from_host(cls, plan: AB.BandPlan) -> "DeviceBandPlan":
+        return cls(W=jnp.asarray(plan.W), pdf=jnp.asarray(plan.pdf),
+                   arc_of=jnp.asarray(plan.arc_of), offsets=plan.offsets,
+                   offsets_arr=jnp.asarray(plan.offsets, jnp.int32),
+                   alpha0=jnp.asarray(plan.alpha0),
+                   final=jnp.asarray(plan.final), n2o=plan.n2o)
+
+    def take(self, idx: np.ndarray) -> "DeviceBandPlan":
+        """Batch-subset the plan ON DEVICE (one small idx upload instead of
+        re-uploading sliced host copies of every array per chunk)."""
+        i = jnp.asarray(idx)
+        return DeviceBandPlan(
+            W=jnp.take(self.W, i, axis=0), pdf=jnp.take(self.pdf, i, axis=0),
+            arc_of=jnp.take(self.arc_of, i, axis=0), offsets=self.offsets,
+            offsets_arr=self.offsets_arr,
+            alpha0=jnp.take(self.alpha0, i, axis=0),
+            final=jnp.take(self.final, i, axis=0), n2o=self.n2o[idx])
+
+
+def align_banded(plan: AB.BandPlan | DeviceBandPlan, graphs: list, loglikes,
+                 num_frames, acoustic_scale: float):
     """Run the gather-free banded alignment kernel (ops/align_band.py) for
     ``graphs`` under ``plan`` and assemble per-utterance results.  loglikes
     [B, T, P] (device or host); T is padded to a multiple of 128 here."""
+    if isinstance(plan, AB.BandPlan):
+        plan = DeviceBandPlan.from_host(plan)
     num_frames = np.asarray(num_frames)
     t = loglikes.shape[1]
     t_pad = max(128, -(-t // 128) * 128)
@@ -43,11 +86,10 @@ def align_banded(plan: AB.BandPlan, graphs: list, loglikes, num_frames,
                            ((0, 0), (0, t_pad - t), (0, 0)))
     nf = jnp.asarray(num_frames)
     alpha_end, bps = AB.viterbi_forward_banded(
-        jnp.asarray(plan.W), jnp.asarray(plan.pdf), jnp.asarray(plan.alpha0),
+        plan.W, plan.pdf, plan.alpha0,
         jnp.asarray(loglikes), nf, np.float32(acoustic_scale), plan.offsets)
     packed, score = AB.backtrace_banded_device(
-        alpha_end, jnp.asarray(plan.final), bps, nf,
-        jnp.asarray(plan.offsets, jnp.int32), jnp.asarray(plan.arc_of))
+        alpha_end, plan.final, bps, nf, plan.offsets_arr, plan.arc_of)
     packed = np.asarray(packed)  # ONE [T+2, B] fetch over the tunnel
     arcs, end_b, ok = packed[:-2], packed[-2], packed[-1].astype(bool)
     end_orig = plan.n2o[np.arange(len(graphs)), end_b]
@@ -78,6 +120,7 @@ class AlignmentSet:
         self._plans = None
         self._plan_spec = None
         self._band = _UNSET
+        self._band_dev = None
 
     @property
     def band(self) -> AB.BandPlan | None:
@@ -90,6 +133,13 @@ class AlignmentSet:
                 log.info("alignment: graphs not banded-friendly, using the "
                          "generic gather kernel")
         return self._band
+
+    @property
+    def band_dev(self) -> DeviceBandPlan | None:
+        """Device-resident band plan, uploaded once per AlignmentSet."""
+        if self._band_dev is None and self.band is not None:
+            self._band_dev = DeviceBandPlan.from_host(self.band)
+        return self._band_dev
 
     @property
     def padded(self) -> dict:
@@ -122,7 +172,7 @@ class AlignmentSet:
         kernel."""
         if beam >= _NO_PRUNE_BEAM and self.band is not None:
             # exact alignment over banded training graphs: gather-free kernel
-            return align_banded(self.band, self.graphs, loglikes,
+            return align_banded(self.band_dev, self.graphs, loglikes,
                                 num_frames, acoustic_scale)
         p = self.padded
         alpha_end, bps = V.viterbi_forward_batched(
@@ -189,11 +239,7 @@ class AlignmentSet:
             ll = K.loglikes_batch(params, jnp.asarray(feats_c))
             if band is not None and beam >= _NO_PRUNE_BEAM:
                 chunk_res = align_banded(
-                    AB.BandPlan(W=band.W[idx], pdf=band.pdf[idx],
-                                arc_of=band.arc_of[idx],
-                                offsets=band.offsets,
-                                alpha0=band.alpha0[idx],
-                                final=band.final[idx], n2o=band.n2o[idx]),
+                    self.band_dev.take(idx),
                     graphs_c, ll, nf_c, acoustic_scale)[:real]
             else:
                 padded = V.pad_graphs(
