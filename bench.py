@@ -30,7 +30,9 @@ import numpy as np
 # compile cold on this worker vs ~35 s with a warm on-disk cache — without
 # it the worst-case-lattice bench children spend their whole timeout slot
 # compiling (round 4, measured).  Set BEFORE any jax import in this process.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/vb_jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from voicebridge_tpu.utils.jax_cache import setdefault_compilation_cache
+setdefault_compilation_cache()
 
 
 def synth_decode_graph(num_states=60_000, arcs_per_state=8, num_pdfs=2000, seed=0):

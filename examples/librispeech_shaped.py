@@ -25,9 +25,9 @@ from pathlib import Path
 
 # persistent XLA compile cache: the decode/lattice window programs cost
 # minutes to compile cold on this worker (see bench.py); warm runs skip it
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/vb_jax_cache")
-
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+from voicebridge_tpu.utils.jax_cache import setdefault_compilation_cache
+setdefault_compilation_cache()
 
 
 def main(argv=None):

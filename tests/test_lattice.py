@@ -308,6 +308,60 @@ class TestSparseMaskFetch:
             np.testing.assert_allclose(a.acoustic_cost, c.acoustic_cost,
                                        atol=1e-5)
 
+    def test_tiered_tail_fetch_matches_dense(self):
+        """mask_budget > window*128 with dense survivor masks drives
+        count.max() past the eagerly-fetched k1 prefix, exercising the lazy
+        bucketed tail slice in _finish_fetch (round-4 advisor finding: all
+        prior sparse tests had k1 == K, leaving that branch dead in CI)."""
+        from voicebridge_tpu.lat import (build_lattices_packed,
+                                         build_lattices_sparse)
+
+        rng = np.random.default_rng(5)
+        s, aps, p = 1500, 4, 16
+        arc_src = np.repeat(np.arange(s, dtype=np.int32), aps)
+        arc_dst = ((arc_src + rng.integers(1, 9, s * aps)) % s).astype(np.int32)
+        arc_dst[::aps] = arc_src[::aps]  # self-loops
+        pdf_state = rng.integers(0, p, s).astype(np.int32)
+        # every state initial: the whole graph is alpha-reachable from frame
+        # 0, so the huge lattice beam keeps ~every arc alive every frame
+        alpha0 = np.zeros(s, np.float32)
+        g = V.DenseGraph(
+            num_states=s, arc_src=arc_src, arc_dst=arc_dst,
+            arc_tid=pdf_state[arc_dst], arc_pdf=pdf_state[arc_dst],
+            arc_score=(-rng.exponential(0.5, s * aps)).astype(np.float32),
+            arc_oseq=np.zeros(s * aps, np.int32), alpha0=alpha0,
+            start_oseq=np.zeros(s, np.int32),
+            final_score=np.zeros(s, np.float32),
+            final_oseq=np.zeros(s, np.int32), oseqs=[()])
+        plan, fwd_dev, bwd_plan, bwd_dev, row_dst = LAT.build_lattice_plans(g)
+        nbytes = -(-plan.num_rows * plan.d // 8)
+        t = 8
+        window = 4
+        ll = rng.normal(size=(2, t, p)).astype(np.float32) * 0.1
+        nf = np.asarray([t, t], np.int32)
+        # huge lattice beam -> nearly every reachable arc survives: nonzero
+        # words per window far exceed k1 = window*128 = 512
+        kw = dict(acoustic_scale=1.0, lattice_beam=1e6, window=window)
+        packed, _b, _a, uf = LAT.lattice_forward_backward_rows(
+            g, plan, fwd_dev, bwd_plan, bwd_dev, row_dst, jnp.asarray(ll),
+            nf, **kw)
+        dense = build_lattices_packed(g, plan.row_arc, packed, ll, nf, uf)
+        budget = window * 4096  # k1 = 512 < K = 16384
+        sparse, _b2, _a2, uf2 = LAT.lattice_forward_backward_rows(
+            g, plan, fwd_dev, bwd_plan, bwd_dev, row_dst, jnp.asarray(ll),
+            nf, mask_budget=budget, **kw)
+        counts = np.stack([c for (_t0, _i, _v, c) in sparse])
+        assert counts.max() > window * 128, \
+            "test must overflow the k1 prefix to cover the tail branch"
+        assert counts.max() <= budget, "budget must hold (no clipping)"
+        clips = []
+        lats = build_lattices_sparse(g, plan.row_arc, sparse, nbytes, ll, nf,
+                                     uf2, log_warn=lambda *a: clips.append(a))
+        assert not clips
+        for a, c in zip(dense, lats):
+            np.testing.assert_array_equal(a.arc_t, c.arc_t)
+            np.testing.assert_array_equal(a.arc_id, c.arc_id)
+
     def test_budget_overflow_clips_and_warns(self, tiny):
         """count > budget reports the clip and keeps the first K bytes."""
         from voicebridge_tpu.lat import build_lattices_sparse

@@ -29,11 +29,11 @@ from pathlib import Path
 
 # persistent XLA compile cache (see bench.py): the lattice window programs
 # compile in ~250 s cold / ~35 s warm on this worker
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/vb_jax_cache")
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+from voicebridge_tpu.utils.jax_cache import setdefault_compilation_cache
+setdefault_compilation_cache()
 
 import numpy as np
-
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 GRAPH_VERSION = "r3a"
 

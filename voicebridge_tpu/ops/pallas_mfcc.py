@@ -248,9 +248,11 @@ class MfccPallas:
         if dither_keys is not None and fo.dither != 0.0:
             if dither_keys.ndim > 1:
                 # per-utterance keys: fold each utterance's noise into its
-                # own frame rows BEFORE flattening, so dithered features
-                # stay deterministic per utterance regardless of bucket
-                # composition (matches the XLA path's vmap-keyed dither)
+                # own frame rows BEFORE flattening — bit-parity with the
+                # XLA path's vmap-keyed dither (features.py).  Note the
+                # keys themselves are derived per bucket position by the
+                # caller (steps/make_feats.py), so bucket composition still
+                # influences the noise; parity, not composition-invariance.
                 frames = frames + fo.dither * jax.vmap(
                     lambda k, f: jax.random.normal(k, f.shape))(
                         dither_keys, frames)

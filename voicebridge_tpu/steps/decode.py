@@ -261,7 +261,7 @@ class Decoder:
 
         with ThreadPoolExecutor(max_workers=1) as pool:
             pending = None
-            chunk_args = []  # (lo, hi, nf) per chunk, for redo + zip
+            chunk_args = []  # (lo, hi, f, nf) per chunk, for redo + zip
             for ci, lo in enumerate(range(0, len(utts), b_chunk)):
                 hi = min(len(utts), lo + b_chunk)
                 real = hi - lo
