@@ -362,6 +362,57 @@ class TestSparseMaskFetch:
             np.testing.assert_array_equal(a.arc_t, c.arc_t)
             np.testing.assert_array_equal(a.arc_id, c.arc_id)
 
+    def test_sparsify_hierarchical_matches_flat(self):
+        """The two-level block/word compaction (large-M path) must agree
+        with the flat sort exactly when nonzero words fit the block budget,
+        and must signal count > budget when they spread over more blocks
+        than the level-1 sort can keep."""
+        rng = np.random.default_rng(11)
+        mbytes, b = 40000, 3  # mw = 10000 words > 4096 -> hierarchical
+        flat = np.zeros((mbytes, b), np.uint8)
+        # cluster nonzero bytes into 10 block-regions (well under kb)
+        for bi in range(b):
+            for blk in rng.choice(70, size=10, replace=False):
+                lo = blk * 128  # one 32-word block = 128 bytes
+                pos = lo + rng.choice(128, size=12, replace=False)
+                flat[pos, bi] = rng.integers(1, 255, size=12)
+        budget = 512  # kb = 16 blocks
+        hi_i, hi_v, hi_c, hi_nz = LAT._sparsify_words(jnp.asarray(flat),
+                                                      budget)
+        fl_i, fl_v, fl_c, _ = LAT._sparsify_words(jnp.asarray(flat), 16384)
+        hi_i, hi_v, hi_c = map(np.asarray, (hi_i, hi_v, hi_c))
+        fl_i, fl_v, fl_c = map(np.asarray, (fl_i, fl_v, fl_c))
+        # the nonzero-word bitmap (dense-window fetch encoding) must agree
+        # with the exact idx list
+        bits = np.unpackbits(np.asarray(hi_nz), axis=0)
+        for bi in range(b):
+            np.testing.assert_array_equal(
+                np.flatnonzero(bits[:, bi]),
+                np.sort(fl_i[:int(fl_c[bi]), bi]))
+        np.testing.assert_array_equal(hi_c, fl_c)
+        for bi in range(b):
+            c = int(fl_c[bi])
+            assert 0 < c <= budget
+            np.testing.assert_array_equal(hi_i[:c, bi], fl_i[:c, bi])
+            np.testing.assert_array_equal(hi_v[:c, bi], fl_v[:c, bi])
+        # adversarial spread: 1 nonzero byte in each of 64 distinct blocks
+        # > kb=16 -> the lax.cond fallback must route to the exact flat
+        # sort (worst-case lattice densities spread like this; round-5
+        # measured ~10k of 13k blocks active at lattice_beam 8)
+        flat2 = np.zeros((mbytes, b), np.uint8)
+        flat2[np.arange(64) * 128 + 5, :] = 7
+        s_i, s_v, s_c, _ = map(np.asarray,
+                               LAT._sparsify_words(jnp.asarray(flat2),
+                                                   budget))
+        f_i, f_v, f_c, _ = map(np.asarray,
+                               LAT._sparsify_words(jnp.asarray(flat2),
+                                                   16384))
+        np.testing.assert_array_equal(s_c, f_c)
+        assert (s_c == 64).all()
+        for bi in range(b):
+            np.testing.assert_array_equal(s_i[:64, bi], f_i[:64, bi])
+            np.testing.assert_array_equal(s_v[:64, bi], f_v[:64, bi])
+
     def test_budget_overflow_clips_and_warns(self, tiny):
         """count > budget reports the clip and keeps the first K bytes."""
         from voicebridge_tpu.lat import build_lattices_sparse

@@ -136,6 +136,98 @@ class TestMeshConsistency:
                                    rtol=1e-4, atol=1e-3)
 
 
+class TestShardedAccumulators:
+    """SURVEY §2.6 P2 completion: LDA / MLLT / fMLLR / tree-stats
+    accumulation sharded over the data axis must be invariant to the mesh
+    shape and must match the unsharded production wrappers exactly —
+    the reference's per-job acc-file reductions
+    (train_lda_mllt.cpp:305-376, train_sat.cpp:906-954,
+    train_deltas.cpp:294) as collectives."""
+
+    def test_lda_stats_mesh_invariant(self, setup):
+        from voicebridge_tpu.transforms.lda import acc_lda_stats
+
+        b, t, d = setup["feats"].shape
+        feats = setup["feats"].reshape(b * t, d)
+        pdfs = setup["pdf_ids"].reshape(-1)
+        w = setup["weights"].reshape(-1).copy()
+        w[::7] = 0.25  # non-trivial weights
+        num_pdfs = setup["tree"].num_pdfs
+        ref = [np.asarray(x) for x in acc_lda_stats(
+            jnp.asarray(feats), jnp.asarray(pdfs), jnp.asarray(w), num_pdfs)]
+        for n in (1, 2, 4, 8):
+            mesh = M.make_mesh(num_data=n)
+            got = acc_lda_stats(feats, pdfs, w, num_pdfs, mesh=mesh)
+            for r, g in zip(ref, got):
+                np.testing.assert_allclose(np.asarray(g), r,
+                                           rtol=1e-5, atol=1e-4)
+
+    def test_mllt_stats_mesh_invariant(self, setup):
+        from voicebridge_tpu.transforms.mllt import acc_mllt_stats
+
+        am = setup["am"]
+        params = K.pack_gmm(am)
+        b, t, d = setup["feats"].shape
+        feats = setup["feats"].reshape(b * t, d)
+        pdfs = setup["pdf_ids"].reshape(-1)
+        w = setup["weights"].reshape(-1)
+        g_ref, beta_ref = acc_mllt_stats(
+            params, jnp.asarray(am.means()), jnp.asarray(am.inv_vars),
+            feats, pdfs, w)
+        for n in (1, 2, 4, 8):
+            mesh = M.make_mesh(num_data=n)
+            g_m, beta_m = acc_mllt_stats(
+                params, jnp.asarray(am.means()), jnp.asarray(am.inv_vars),
+                feats, pdfs, w, mesh=mesh)
+            np.testing.assert_allclose(np.asarray(g_m), np.asarray(g_ref),
+                                       rtol=1e-4, atol=1e-3)
+            assert abs(beta_m - beta_ref) < 1e-3 * max(abs(beta_ref), 1)
+
+    def test_fmllr_stats_mesh_invariant(self, setup):
+        from voicebridge_tpu.transforms.fmllr import acc_fmllr_stats
+
+        am = setup["am"]
+        params = K.pack_gmm(am)
+        b, t, d = setup["feats"].shape
+        feats = setup["feats"].reshape(b * t, d)
+        pdfs = setup["pdf_ids"].reshape(-1)
+        w = setup["weights"].reshape(-1)
+        num_spk = 3
+        spk = np.repeat(np.arange(b, dtype=np.int32) % num_spk, t)
+        ref = [np.asarray(x) for x in acc_fmllr_stats(
+            params, jnp.asarray(am.means()), jnp.asarray(am.inv_vars),
+            feats, pdfs, w, spk, num_spk)]
+        for n in (1, 2, 4, 8):
+            mesh = M.make_mesh(num_data=n)
+            got = acc_fmllr_stats(
+                params, jnp.asarray(am.means()), jnp.asarray(am.inv_vars),
+                feats, pdfs, w, spk, num_spk, mesh=mesh)
+            for r, g in zip(ref, got):
+                np.testing.assert_allclose(np.asarray(g), r,
+                                           rtol=1e-4, atol=1e-3)
+
+    def test_tree_stats_mesh_invariant(self, setup):
+        from voicebridge_tpu.models.treebuild import acc_tree_stats
+
+        tm = setup["tm"]
+        b, t, d = setup["feats"].shape
+        feats_by_utt = {f"u{i}": setup["feats"][i] for i in range(b)}
+        alis = {f"u{i}": list(setup["tids"][i]) for i in range(b)}
+        ref = acc_tree_stats(alis, feats_by_utt, tm)
+        assert ref, "expected nonempty tree stats"
+        for n in (1, 2, 4, 8):
+            mesh = M.make_mesh(num_data=n)
+            got = acc_tree_stats(alis, feats_by_utt, tm, mesh=mesh)
+            assert set(got) == set(ref)
+            for key, st in ref.items():
+                np.testing.assert_allclose(got[key].count, st.count,
+                                           rtol=1e-6, atol=1e-4)
+                np.testing.assert_allclose(got[key].sum_x, st.sum_x,
+                                           rtol=1e-5, atol=1e-3)
+                np.testing.assert_allclose(got[key].sum_x2, st.sum_x2,
+                                           rtol=1e-5, atol=1e-3)
+
+
 class TestInputPipeline:
     def test_bucketing_bounds_padding(self, tmp_path):
         from voicebridge_tpu.parallel.data import bucket_by_length

@@ -262,9 +262,14 @@ class DecodeOptions:
     # makes oversizing ~free), after which the sub-batch ladder measured on
     # the 90k-state bench graph at B=128/T=1000: realistic density 13.5 ->
     # 22.8 -> 35.2 audio-s/s at sub-batch 16/32/64 (worst-case 10.3 -> 9.7
-    # -> 13.3), so the default now targets sub-batch 64 (~2 GB working
-    # set, well within a 16 GB v5e).
-    lattice_mem_budget: float = 2e9
+    # -> 13.3).  Round 5 filled the full 128-lane sub-batch: the
+    # batch-minor [., B] layout wastes half of every row gather below
+    # B=128, and sub-batch 128 measured 23.2 -> 32.7 audio-s/s at
+    # realistic density (4.2 GB working set, within a 16 GB v5e; the
+    # remote worker ran it stably).  The default targets sub-batch 128 on
+    # the 90k-state graph with the round-5 deferred sparse fetch's [K, B]
+    # buffers included in the accounting (steps/decode.py).
+    lattice_mem_budget: float = 4.6e9
 
 
 @dataclass(frozen=True)

@@ -214,7 +214,8 @@ def build_lattices_sparse(graph: DenseGraph, row_arc: np.ndarray,
         ts, arcs = ts[ok], arcs[ok].astype(np.int32)
         order = np.argsort(ts, kind="stable")
         ts, arcs = ts[order], arcs[order]
-        ac = -ll[i, ts, graph.arc_pdf[arcs]].astype(np.float32)
+        ac = (np.zeros(len(ts), np.float32) if ll is None
+              else -ll[i, ts, graph.arc_pdf[arcs]].astype(np.float32))
         out.append(Lattice(graph=graph, nf=nf, arc_t=ts, arc_id=arcs,
                            acoustic_cost=ac, use_final=bool(use_final[i])))
     return out
@@ -229,7 +230,10 @@ def build_lattices_packed(graph: DenseGraph, row_arc: np.ndarray,
 
     packed [T, nbytes, B] uint8 (row-major bit positions = row * D + slot);
     row_arc: EmitPlan.row_arc (maps positions to graph arc ids, -1 = pad);
-    ll [B, T, P] host loglikes.
+    ll [B, T, P] host loglikes, or None to skip acoustic costs (zeros) —
+    the production Decoder fills them afterwards with a device gather of
+    exactly the surviving (utt, t, pdf) entries instead of fetching the
+    full multi-hundred-MB loglik block to the host (round 5).
     """
     row_arc_flat = row_arc.reshape(-1)
     n_pos = len(row_arc_flat)
@@ -254,7 +258,8 @@ def build_lattices_packed(graph: DenseGraph, row_arc: np.ndarray,
         ts, arcs = ts[ok], arcs[ok].astype(np.int32)
         order = np.argsort(ts, kind="stable")
         ts, arcs = ts[order], arcs[order]
-        ac = -ll[i, ts, graph.arc_pdf[arcs]].astype(np.float32)
+        ac = (np.zeros(len(ts), np.float32) if ll is None
+              else -ll[i, ts, graph.arc_pdf[arcs]].astype(np.float32))
         out.append(Lattice(graph=graph, nf=nf, arc_t=ts, arc_id=arcs,
                            acoustic_cost=ac, use_final=bool(use_final[i])))
     return out

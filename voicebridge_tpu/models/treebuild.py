@@ -76,19 +76,22 @@ def objf_of_sum(stats_list, var_floor: float = 0.01) -> float:
 # ---------------------------------------------------------------------------
 
 
-def acc_tree_stats(alignments: dict, feats_by_utt: dict, trans_model,
-                   context_width: int = 3, central_position: int = 1,
-                   ci_phones: set | None = None) -> dict:
-    """Accumulate per-event Gaussian stats from alignments.
+def frame_event_ids(alignments: dict, feats_by_utt: dict, trans_model,
+                    context_width: int = 3, central_position: int = 1,
+                    ci_phones: set | None = None):
+    """Per-frame tree-event keying, shared by the host and mesh-sharded
+    accumulation paths (parallel/mesh.acc_tree_stats_sharded).
 
     alignments: utt -> list[tid]; event key = (phone_window tuple, pdf_class).
     Context positions beyond utterance edges are phone 0.  Context-independent
     phones (silence) get windows with zeroed context (Kaldi --ci-phones).
-    Returns dict event -> GaussStats.
+    Returns (events list[key], feats [N, D] concatenated frames,
+    event_ids [N] index into events).
     """
     ci_phones = ci_phones or set()
     n, p = context_width, central_position
-    stats: dict = {}
+    events: dict = {}
+    feat_parts, id_parts = [], []
     for utt, tids in alignments.items():
         if not tids:
             continue
@@ -100,6 +103,7 @@ def acc_tree_stats(alignments: dict, feats_by_utt: dict, trans_model,
              for t, ph in zip(tids, phones)], np.int32)
         seg_phone, seg_of_frame = trans_model.split_to_phones(tids)
         num_segs = len(seg_phone)
+        ids = np.empty(len(tids), np.int32)
         for i in range(len(tids)):
             seg = seg_of_frame[i]
             window = []
@@ -114,11 +118,64 @@ def acc_tree_stats(alignments: dict, feats_by_utt: dict, trans_model,
                 window = [0] * n
                 window[p] = ph
             key = (tuple(window), int(pdf_classes[i]))
-            st = stats.get(key)
-            if st is None:
-                st = stats[key] = GaussStats(feats.shape[1])
-            st.add_arrays(1.0, feats[i], feats[i] * feats[i])
+            eid = events.get(key)
+            if eid is None:
+                eid = events[key] = len(events)
+            ids[i] = eid
+        feat_parts.append(np.asarray(feats[: len(tids)], np.float32))
+        id_parts.append(ids)
+    if not feat_parts:
+        return [], np.zeros((0, 1), np.float32), np.zeros(0, np.int32)
+    return (list(events.keys()), np.concatenate(feat_parts),
+            np.concatenate(id_parts))
+
+
+def stats_from_arrays(events: list, count: np.ndarray, sum_x: np.ndarray,
+                      sum_x2: np.ndarray) -> dict:
+    """(events, per-event count/sum_x/sum_x2 arrays) -> dict event ->
+    GaussStats (the build_tree input format)."""
+    stats: dict = {}
+    for eid, key in enumerate(events):
+        if count[eid] <= 0:
+            continue
+        st = GaussStats(sum_x.shape[1])
+        st.add_arrays(float(count[eid]), sum_x[eid], sum_x2[eid])
+        stats[key] = st
     return stats
+
+
+def acc_tree_stats(alignments: dict, feats_by_utt: dict, trans_model,
+                   context_width: int = 3, central_position: int = 1,
+                   ci_phones: set | None = None, mesh=None) -> dict:
+    """Accumulate per-event Gaussian stats from alignments (acc-tree-stats +
+    sum-tree-stats roles).  The accumulation is a vectorized per-event
+    scatter-add; with ``mesh`` set it runs as the mesh-sharded program
+    (frames over the data axis, psum reduction — SURVEY §2.6 P2; reference
+    sums per-job .treeacc files, ``train_deltas.cpp:294``).
+    Returns dict event -> GaussStats.
+    """
+    events, feats, event_ids = frame_event_ids(
+        alignments, feats_by_utt, trans_model, context_width,
+        central_position, ci_phones)
+    if not events:
+        return {}
+    ne = len(events)
+    if mesh is not None:
+        from ..parallel.mesh import acc_tree_stats_sharded, pad_to_mesh
+
+        acc = acc_tree_stats_sharded(mesh, ne)
+        feats_p, ids_p, w_p = pad_to_mesh(mesh, feats, event_ids)
+        count, sx, sx2 = (np.asarray(a, np.float64)
+                          for a in acc(feats_p, ids_p, w_p))
+    else:
+        d = feats.shape[1]
+        count = np.zeros(ne, np.float64)
+        sx = np.zeros((ne, d), np.float64)
+        sx2 = np.zeros((ne, d), np.float64)
+        np.add.at(count, event_ids, 1.0)
+        np.add.at(sx, event_ids, feats)
+        np.add.at(sx2, event_ids, feats * feats)
+    return stats_from_arrays(events, count, sx, sx2)
 
 
 # ---------------------------------------------------------------------------

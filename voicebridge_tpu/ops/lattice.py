@@ -280,15 +280,86 @@ def _sparsify_words(flat, budget: int):
     w8 = flat.reshape(mw, 4, b).astype(jnp.int32)
     words = (w8[:, 0] << 24) | (w8[:, 1] << 16) | (w8[:, 2] << 8) | w8[:, 3]
     nz = words != 0
-    key = jnp.where(nz, mw - jnp.arange(mw, dtype=jnp.int32)[:, None], 0)
-    kk = min(budget, mw)
-    sk, sv = jax.lax.sort([key.T, words.T], dimension=-1, num_keys=1)
-    topk = sk[:, mw - kk:][:, ::-1]  # descending key = ascending position
-    topw = sv[:, mw - kk:][:, ::-1]
-    idx = jnp.where(topk > 0, mw - topk, -1).T
-    val = jnp.where(topk > 0, topw, 0).T
     count = jnp.sum(nz.astype(jnp.int32), axis=0)
-    return idx, val, count
+    kk = min(budget, mw)
+    g = 32  # words per block in the hierarchical path
+    kb = max(kk // g, 1)
+
+    def flat_sort(words):
+        key = jnp.where(words != 0,
+                        mw - jnp.arange(mw, dtype=jnp.int32)[:, None], 0)
+        sk, sv = jax.lax.sort([key.T, words.T], dimension=-1, num_keys=1)
+        topk = sk[:, mw - kk:][:, ::-1]  # desc key = ascending position
+        topw = sv[:, mw - kk:][:, ::-1]
+        idx = jnp.where(topk > 0, mw - topk, -1).T
+        val = jnp.where(topk > 0, topw, 0).T
+        return idx, val
+
+    if mw <= max(kb * g, 4096):
+        # graph too small for the hierarchy to pay for itself
+        idx, val = flat_sort(words)
+        return idx, val, count, jnp.packbits(nz, axis=0)
+
+    # Hierarchical two-level compaction (round 5): the flat lane-major sort
+    # over all M words was the dominant sparsify cost at production scale
+    # (M ~= 417k words/window on the 90k-state HCLG; ~180 ms/window at B=64
+    # vs ~75 nonzero words on realistic decodes).  Level 1 sorts only the
+    # M/g per-BLOCK any-nonzero flags to find the first kb active blocks;
+    # level 2 gathers those blocks' words ([kb, B, g] — each slice g
+    # contiguous int32, a row-shaped gather, not an element gather) and
+    # runs the exact word-level sort on that g*kb-word subset (~6x
+    # smaller).  Worst-case lattice densities SPREAD nonzero words over
+    # more blocks than kb (measured ~10k of 13k blocks at lattice_beam 8
+    # with graph-inconsistent acoustics), so when any utterance's nonzero
+    # blocks exceed kb the whole window falls back to the exact flat sort
+    # via lax.cond — both branches compile once, only one executes.
+    mb = -(-mw // g)
+    if mb * g != mw:
+        words = jnp.concatenate(
+            [words, jnp.zeros((mb * g - mw, b), words.dtype)], axis=0)
+    wblk = jnp.swapaxes(words.reshape(mb, g, b), 1, 2)  # [mb, B, g]
+    bnz = jnp.any(wblk != 0, axis=2)  # [mb, B]
+    blk_cnt = jnp.sum(bnz.astype(jnp.int32), axis=0)  # [B]
+    mwp = mb * g
+
+    def hier(wblk, bnz):
+        bkey = jnp.where(bnz,
+                         mb - jnp.arange(mb, dtype=jnp.int32)[:, None], 0)
+        bval = jnp.broadcast_to(
+            jnp.arange(mb, dtype=jnp.int32)[:, None], (mb, b))
+        sk1, si1 = jax.lax.sort([bkey.T, bval.T], dimension=-1, num_keys=1)
+        top_bk = sk1[:, mb - kb:][:, ::-1]  # [B, kb] desc key = asc pos
+        top_bi = si1[:, mb - kb:][:, ::-1]
+        # pad-block sentinel mb: gathered words all zero, never selected
+        blk_idx = jnp.where(top_bk > 0, top_bi, mb).T  # [kb, B]
+        wblk_s = jnp.concatenate(
+            [wblk, jnp.zeros((1, b, g), wblk.dtype)], axis=0)  # [mb+1,B,g]
+        gathered = jnp.take_along_axis(
+            wblk_s, blk_idx[:, :, None].astype(jnp.int32), axis=0)
+        pos = (blk_idx[:, :, None] * g
+               + jnp.arange(g, dtype=jnp.int32)[None, None, :])  # [kb,B,g]
+        wsub = jnp.swapaxes(gathered, 1, 2).reshape(kb * g, b)
+        psub = jnp.swapaxes(pos, 1, 2).reshape(kb * g, b)
+        key2 = jnp.where(wsub != 0, mwp - psub, 0)
+        k2 = min(kk, kb * g)
+        sk2, sv2 = jax.lax.sort([key2.T, wsub.T], dimension=-1, num_keys=1)
+        topk = sk2[:, kb * g - k2:][:, ::-1]
+        topw = sv2[:, kb * g - k2:][:, ::-1]
+        idx = jnp.where(topk > 0, mwp - topk, -1).T
+        val = jnp.where(topk > 0, topw, 0).T
+        if k2 < kk:  # align output shape with the flat branch
+            idx = jnp.concatenate(
+                [idx, jnp.full((kk - k2, b), -1, idx.dtype)], axis=0)
+            val = jnp.concatenate(
+                [val, jnp.zeros((kk - k2, b), val.dtype)], axis=0)
+        return idx, val
+
+    idx, val = jax.lax.cond(
+        jnp.any(blk_cnt > kb),
+        lambda ops: flat_sort(ops[0][:mw]),
+        lambda ops: hier(ops[1], ops[2]),
+        (words, wblk, bnz))
+    return idx, val, count, jnp.packbits(nz, axis=0)
 
 
 @functools.partial(jax.jit,
@@ -342,9 +413,7 @@ def _fb_win_backward(fwd_dev: EmitPlanDev, bwd_dev: EmitPlanDev, row_dst,
     if mask_budget is None:
         return beta, bits
     nbytes = bits.shape[1]
-    idx, val, count = _sparsify_words(bits.reshape(w * nbytes, b),
-                                      mask_budget)
-    return beta, (idx, val, count)
+    return beta, _sparsify_words(bits.reshape(w * nbytes, b), mask_budget)
 
 
 def lattice_forward_backward_rows(graph: DenseGraph, fwd_plan: EmitPlan,
@@ -414,57 +483,102 @@ def lattice_forward_backward_rows(graph: DenseGraph, fwd_plan: EmitPlan,
                           jnp.zeros((s1, b)))
     thresh = total_best - jnp.float32(lattice_beam)
 
-    # phase 2: reverse windows.  Masks are fetched with a one-window lag so
-    # the transfer of window w+1 overlaps the compute of window w, and each
-    # consumed snapshot is dropped so device residency stays bounded.
+    # phase 2: reverse windows.  Each consumed snapshot is dropped as its
+    # backward window is dispatched.
     #
-    # Sparse-mode fetch is TIERED: the budget K is sized for the worst
-    # window ever measured, but typical windows carry far fewer nonzero
-    # words (realistic decodes: mean ~40, max ~500 per window at B=32 —
-    # tools/profile_lattice.py), so eagerly moving the full [K, B] arrays
-    # would be mostly padding (K=32768, B=32: 8.4 MB/window over a
-    # ~21 MB/s link).  Only a K1 prefix plus the counts are fetched
-    # eagerly; the full device arrays stay alive and the tail is pulled
-    # lazily for the rare window whose max count exceeds the prefix.
+    # Sparse-mode fetch is COUNT-FIRST and fully deferred (round 5): the
+    # budget K is sized for the worst window ever measured, but typical
+    # windows carry far fewer nonzero words (realistic decodes: mean ~75,
+    # max ~1700 per window at B=128 — tools/profile_lattice.py), so the
+    # round-4 eager window*128-word prefix was >80% padding.  Any HOST READ
+    # inside the dispatch loop is worse than the padding: a mid-loop
+    # np.asarray stalls the dispatch pipeline on this remote-tunnel backend
+    # (measured round 5: interleaved per-window count reads turned a 12 s
+    # phase-2 into 44-57 s; the identical programs with all reads deferred
+    # run at device speed).  So the loop only DISPATCHES: every window's
+    # [B] counts start copying immediately; after the last window the
+    # landed counts size one exact pow2-bucketed slice [hi, B] per window,
+    # all slice copies go into flight together, and one drain reads them.
+    # Each pow2 bucket compiles at most one slice program; hi >= max_count
+    # keeps every survivor word, and genuine over-K overflow still reports
+    # (hi caps at K, caller refetches dense).  The full [K, B] idx/val
+    # buffers stay device-resident until sliced (nw * 2 * 4 * K * B bytes
+    # — counted in steps/decode.py's chunk sizing).
     row_dst_j = jnp.asarray(row_dst)
-    k1 = min(mask_budget, window * 128) if mask_budget is not None else None
 
-    def _start_fetch(out):
-        if mask_budget is None:
-            out.copy_to_host_async()
-            return out
-        idx, val, count = out
-        pre = (idx[:k1], val[:k1], count)
-        for o in pre:
-            o.copy_to_host_async()
-        return (pre, idx, val)
+    class _Fetch:
+        __slots__ = ("t0", "idx", "val", "count", "nzb", "c_np", "idx_s",
+                     "val_s")
 
-    def _finish_fetch(handle):
-        if mask_budget is None:
-            return np.asarray(handle)
-        (pi, pv, pc), idx, val = handle
-        count = np.asarray(pc)
-        if count.size and int(count.max()) > k1:
-            # Fetch only the LIVE tail [k1, max_count), not the full padded
-            # [k1, K) slab: at worst-case lattice density most windows
-            # overflow the prefix, and the padded tail (K-k1 words x B x 2
-            # arrays) cost ~0.75 s/window over the ~21 MB/s tunnel —
-            # measured 28 s of a 32 s iteration at B=32 T=500 (round 4).
-            # The tail length is bucketed to a power of two so at most
-            # log2(K) distinct slice programs ever compile; consumers
-            # treat the fetched length as the clip budget, and
-            # hi >= max_count keeps every survivor word (genuine over-K
-            # overflow still reports, since hi caps at K).
-            need = int(count.max()) - k1
-            hi = min(k1 + (1 << (need - 1).bit_length()), idx.shape[0])
-            return (np.concatenate([np.asarray(pi), np.asarray(idx[k1:hi])]),
-                    np.concatenate([np.asarray(pv), np.asarray(val[k1:hi])]),
-                    count)
-        return (np.asarray(pi), np.asarray(pv), count)
+        def __init__(self, t0, out):
+            self.t0 = t0
+            if mask_budget is None:
+                self.idx = out
+                out.copy_to_host_async()
+                return
+            self.idx, self.val, self.count, self.nzb = out
+            self.count.copy_to_host_async()
+            self.c_np = None
+
+        @staticmethod
+        def _bucket(top: int, cap: int) -> int:
+            """Fetch-length bucket: the smallest of {2^k, 3*2^(k-1)} >= top
+            (compiles at most 2*log2(K) distinct slice programs; plain pow2
+            wasted 39% when worst-case counts land just above a power —
+            23492 -> 32768 vs 24576)."""
+            p = 1 << max(0, (max(top, 1) - 1).bit_length() - 1)
+            for h in (p, 3 * p // 2, 2 * p, 3 * p):
+                if h >= top:
+                    return min(max(h, 64), cap)
+            return cap
+
+        def slice_to_counts(self):
+            """Counts have landed: start the exact payload copies, free the
+            full [K, B] buffers.  Called only after the dispatch loop.
+
+            Two fetch encodings, chosen per window by total bytes: sparse
+            windows move (idx, val) slices; DENSE windows (count >
+            mask-words/32, i.e. idx bytes would exceed the bitmap) move
+            the packed nonzero-word BITMAP + val slice instead and
+            reconstruct positions on the host — at worst-case lattice
+            density this nearly halves the dominant fetch (round 5)."""
+            if mask_budget is None or self.c_np is not None:
+                return
+            c = np.asarray(self.count)
+            self.c_np = c
+            top = int(c.max()) if c.size else 0
+            hi = self._bucket(top, self.idx.shape[0])
+            self.val_s = self.val[:hi]
+            self.val_s.copy_to_host_async()
+            if top * 4 > self.nzb.shape[0]:
+                self.idx_s = self.nzb  # bitmap mode
+            else:
+                self.idx_s = self.idx[:hi]
+            self.idx_s.copy_to_host_async()
+            self.idx = self.val = self.nzb = None
+
+        def finish(self):
+            if mask_budget is None:
+                return self.t0, np.asarray(self.idx)
+            self.slice_to_counts()
+            idx_np = np.asarray(self.idx_s)
+            val_np = np.asarray(self.val_s)
+            if idx_np.dtype == np.uint8:
+                # bitmap mode: positions = set bits, already in ascending
+                # order — rebuild the rectangular idx the consumers expect
+                bits = np.unpackbits(idx_np, axis=0)  # [mw8*8, B]
+                k = val_np.shape[0]
+                idx_r = np.full((k, bits.shape[1]), -1, np.int32)
+                for bi in range(bits.shape[1]):
+                    pos = np.flatnonzero(bits[:, bi])
+                    n = min(len(pos), k)
+                    idx_r[:n, bi] = pos[:n]
+                idx_np = idx_r
+            return self.t0, (idx_np, val_np, self.c_np)
 
     beta = jnp.full((s1, b), NEG_INF)
     mask_np = []
-    prev = None  # (t0, fetch handle) finished with a one-window lag
+    pending: list[_Fetch] = []
     for w in range(nw - 1, -1, -1):
         beta, out = _fb_win_backward(
             fwd_dev, bwd_dev, row_dst_j, snaps[w], beta,
@@ -472,13 +586,14 @@ def lattice_forward_backward_rows(graph: DenseGraph, fwd_plan: EmitPlan,
             final_eff, thresh, acwt, fwd_plan.rspec, bwd_plan.rspec,
             mask_budget)
         snaps[w] = None  # free the snapshot buffer
-        handle = _start_fetch(out)
-        if prev is not None:
-            t0p, hp = prev
-            mask_np.append((t0p, _finish_fetch(hp)))
-        prev = (w * window, handle)
-    t0p, hp = prev
-    mask_np.append((t0p, _finish_fetch(hp)))
+        pending.append(_Fetch(w * window, out))
+        if mask_budget is None and len(pending) >= 3:
+            # dense masks are big ([W, nbytes, B]); consume with lag so at
+            # most two stay device-resident
+            mask_np.append(pending.pop(0).finish())
+    for f in pending:
+        f.slice_to_counts()
+    mask_np.extend(f.finish() for f in pending)
     mask_np = mask_np[::-1]  # ascending t0
     if mask_budget is None:
         masks = np.concatenate([m for _t0, m in mask_np], axis=0)

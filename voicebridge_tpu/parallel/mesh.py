@@ -100,6 +100,155 @@ def em_estep_sharded(mesh: Mesh, num_states: int, num_pdfs: int, num_tids: int):
     return jax.jit(step)
 
 
+def pad_to_mesh(mesh: Mesh, feats: np.ndarray, ids: np.ndarray,
+                weights: np.ndarray | None = None):
+    """Pad frame-major arrays so N divides the data-axis size, returning
+    (feats, ids, weights) with zero weight on the padding rows (so padded
+    frames contribute nothing to any psum-reduced statistic)."""
+    n = feats.shape[0]
+    nd = mesh.shape[DATA_AXIS]
+    w = (np.ones(n, np.float32) if weights is None
+         else np.asarray(weights, np.float32))
+    n_pad = -(-max(n, 1) // nd) * nd
+    if n_pad != n:
+        feats = np.concatenate(
+            [feats, np.zeros((n_pad - n,) + feats.shape[1:], feats.dtype)])
+        ids = np.concatenate([ids, np.zeros(n_pad - n, ids.dtype)])
+        w = np.concatenate([w, np.zeros(n_pad - n, np.float32)])
+    return feats, ids, w
+
+
+def acc_lda_stats_sharded(mesh: Mesh, num_pdfs: int):
+    """Mesh-sharded LDA accumulation (SURVEY §2.6 P2: the reference sums
+    per-job ``lda.JOBID.acc`` files, ``train_lda_mllt.cpp:305-376``): frames
+    sharded over the data axis, class-stats psum-reduced.
+
+    -> jitted acc(feats [N, D], pdf_ids [N], weights [N]) ->
+    (counts [C], mean_acc [C, D], scatter [D, D]) — identical to
+    ``transforms.lda.acc_lda_stats`` on the concatenated frames."""
+    from jax import shard_map
+
+    from ..transforms.lda import acc_lda_stats
+
+    data = P(DATA_AXIS)
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(data, data, data),
+                       out_specs=(P(), P(), P()), check_vma=False)
+    def acc(feats, pdf_ids, weights):
+        counts, mean_acc, scatter = acc_lda_stats(feats, pdf_ids, weights,
+                                                  num_pdfs)
+        return (jax.lax.psum(counts, DATA_AXIS),
+                jax.lax.psum(mean_acc, DATA_AXIS),
+                jax.lax.psum(scatter, DATA_AXIS))
+
+    return jax.jit(acc)
+
+
+def acc_mllt_stats_sharded(mesh: Mesh):
+    """Mesh-sharded MLLT accumulation (reference: per-job ``m.JOBID.macc``
+    summed by est-mllt, ``train_lda_mllt.cpp:694-``): frames sharded over
+    the data axis, (G [D, D, D], beta) psum-reduced.
+
+    -> jitted acc(params, means [P, M, D], inv_vars, feats [N, D],
+    pdf_ids [N], weights [N]) -> (G, beta)."""
+    from jax import shard_map
+
+    from ..transforms.mllt import _mllt_chunk
+
+    data = P(DATA_AXIS)
+    rep = P()
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(rep, rep, rep, data, data, data),
+                       out_specs=(P(), P()), check_vma=False)
+    def acc(params, means, inv_vars, feats, pdf_ids, weights):
+        g, beta = _mllt_chunk(params, means, inv_vars, feats, pdf_ids,
+                              weights)
+        return jax.lax.psum(g, DATA_AXIS), jax.lax.psum(beta, DATA_AXIS)
+
+    return jax.jit(acc)
+
+
+def acc_fmllr_stats_sharded(mesh: Mesh, num_speakers: int):
+    """Mesh-sharded per-speaker fMLLR accumulation (reference: per-job
+    fMLLR accs composed per speaker, ``train_sat.cpp:906-954``).  SPEAKERS
+    are sharded over the data axis in a speaker-major layout — the P4
+    speaker-affinity design (SURVEY §2.6): every frame of a speaker lives
+    on one chip, so the per-speaker contractions are chip-local and the
+    final psum only merges DISJOINT speaker slots.
+
+    -> jitted acc(params, means, inv_vars, feats [S, T, D] speaker-major
+    padded slabs, pdf_ids [S, T], weights [S, T] (0 on padding),
+    spk_slot [S] global speaker slot per row) ->
+    (beta [S_tot], K [S_tot, D, D+1], G [S_tot, D, D+1, D+1])."""
+    from jax import shard_map
+
+    from ..transforms.fmllr import _fmllr_frame_stats
+
+    data = P(DATA_AXIS)
+    rep = P()
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(rep, rep, rep, data, data, data, data),
+                       out_specs=(P(), P(), P()), check_vma=False)
+    def acc(params, means, inv_vars, feats, pdf_ids, weights, spk_slot):
+        s, t, d = feats.shape
+
+        def one_speaker(f, pid, w):
+            gmass, w_miv, w_iv = _fmllr_frame_stats(
+                params, means, inv_vars, f, pid, w)
+            xhat = jnp.concatenate([f, jnp.ones((t, 1), f.dtype)], axis=1)
+            beta = jnp.sum(gmass)
+            k = jnp.einsum("nd,ne->de", w_miv, xhat,
+                           precision=jax.lax.Precision.HIGHEST)
+            y = w_iv[:, :, None] * xhat[:, None, :]
+            g = jnp.einsum("nde,nf->def", y, xhat,
+                           precision=jax.lax.Precision.HIGHEST)
+            return beta, k, g
+
+        beta, k, g = jax.vmap(one_speaker)(feats, pdf_ids, weights)
+        # scatter local speaker rows into disjoint global slots, then psum
+        # merges the shards (slots never collide across chips)
+        beta_g = jax.ops.segment_sum(beta, spk_slot, num_speakers)
+        k_g = jax.ops.segment_sum(k, spk_slot, num_speakers)
+        g_g = jax.ops.segment_sum(g, spk_slot, num_speakers)
+        return (jax.lax.psum(beta_g, DATA_AXIS),
+                jax.lax.psum(k_g, DATA_AXIS),
+                jax.lax.psum(g_g, DATA_AXIS))
+
+    return jax.jit(acc)
+
+
+def acc_tree_stats_sharded(mesh: Mesh, num_events: int):
+    """Mesh-sharded tree-statistics accumulation (reference: per-job
+    ``JOBID.treeacc`` summed by sum-tree-stats, ``train_deltas.cpp:294``):
+    frames sharded over the data axis, per-event Gaussian stats
+    psum-reduced.  Event ids are built host-side
+    (models/treebuild.frame_event_ids — the keying is string-like tuple
+    work); the O(N) accumulation is the device part.
+
+    -> jitted acc(feats [N, D], event_ids [N], weights [N]) ->
+    (count [E], sum_x [E, D], sum_x2 [E, D])."""
+    from jax import shard_map
+
+    data = P(DATA_AXIS)
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(data, data, data),
+                       out_specs=(P(), P(), P()), check_vma=False)
+    def acc(feats, event_ids, weights):
+        cnt = jax.ops.segment_sum(weights, event_ids, num_events)
+        sx = jax.ops.segment_sum(feats * weights[:, None], event_ids,
+                                 num_events)
+        sx2 = jax.ops.segment_sum(feats * feats * weights[:, None],
+                                  event_ids, num_events)
+        return (jax.lax.psum(cnt, DATA_AXIS), jax.lax.psum(sx, DATA_AXIS),
+                jax.lax.psum(sx2, DATA_AXIS))
+
+    return jax.jit(acc)
+
+
 def decode_forward_sharded(mesh: Mesh, packed: bool, rspec: tuple):
     """Mesh-sharded decode forward over a replicated HCLG: the production
     in-degree-row kernel (ops/decode_core.viterbi_scan) with utterances

@@ -160,6 +160,13 @@ class Decoder:
                 for w in lmwts}
 
     @staticmethod
+    @jax.jit
+    def _ac_gather(ll_dev, idx):
+        """Negated flat-index gather over the device loglik block: the
+        acoustic costs of surviving lattice arcs (see _fill_ac)."""
+        return -jnp.take(ll_dev.reshape(-1), idx)
+
+    @staticmethod
     def _lattice_window(t: int) -> int:
         """Frames per lattice-FB window.  Device residency per utterance
         scales as S*(W + T/W) — the in-window beta/alpha recompute plus one
@@ -209,11 +216,23 @@ class Decoder:
                                   feats.shape[2]), feats.dtype)], axis=1)
         s1 = self.plan.num_states + 1
         nbytes = -(-self.plan.num_rows * self.plan.d // 8)
-        # device residency per utterance: beta slab + snapshots + loglikes +
-        # two windows of packed masks in flight
-        dev_per_utt = (4.0 * s1 * (window + t_pad // window)
+        nw = t_pad // window
+        # nonzero-WORD budget per (window, utt): 1024 words/frame is
+        # >=1.39x the worst window ever measured (23492 nonzero mask
+        # words at window 16, lattice_beam 8, 90k-state bench graph with
+        # peaked-but-graph-inconsistent acoustics); real decodes sit
+        # 10-500x below.  The hierarchical sparsify's sort cost is nearly
+        # K-independent and the count-first fetch moves only
+        # pow2(max_count) words per window (ops/lattice.py).  Overflow
+        # falls back to the exact dense fetch for the whole chunk, so
+        # lattices are NEVER clipped on this path.
+        budget = window * 1024
+        # device residency per utterance: beta slab + snapshots + loglikes
+        # + the full [K, B] sparse idx/val buffers held until the deferred
+        # post-loop slice (ops/lattice.py round-5 fetch design)
+        dev_per_utt = (4.0 * s1 * (window + nw)
                        + 4.0 * t_pad * self.params.gconsts.shape[0]
-                       + 2.0 * window * nbytes)
+                       + 8.0 * budget * nw)
         # cap at 128 = the TPU lane width of the batch-minor [., B] layout;
         # chunks below 128 utts leave lanes empty
         n = max(2, min(128, self.opts.lattice_mem_budget / dev_per_utt))
@@ -222,24 +241,45 @@ class Decoder:
         b_chunk = 1 << int(np.log2(n))
         out: dict = {}
         n_chunks = -(-len(utts) // b_chunk)
-        # nonzero-WORD budget per (window, utt): 2048 words/frame is
-        # >=1.4x the worst window ever measured (23492 nonzero mask
-        # bytes <= 23492 words at window 16, lattice_beam 8, 90k-state
-        # bench graph with peaked-but-graph-inconsistent acoustics);
-        # real decodes sit 10-100x below.  The budget is nearly free
-        # to oversize: the sort-based sparsify cost is K-independent
-        # and the tiered fetch moves only a window*128 prefix plus the
-        # live tail of any window that exceeds it (ops/lattice.py).
-        # Overflow falls back to the exact dense fetch for the whole
-        # chunk, so lattices are NEVER clipped on this path.
-        budget = window * 2048
 
-        def _assemble(ci, sparse, ll_np, nf, use_final):
+        def _assemble(ci, sparse, nf, use_final):
             clips = []
             lats = build_lattices_sparse(
-                g, self.plan.row_arc, sparse, nbytes, ll_np, nf,
+                g, self.plan.row_arc, sparse, nbytes, None, nf,
                 use_final, log_warn=lambda *a: clips.append(a))
             return ci, lats, clips
+
+        p_tot = self.params.gconsts.shape[0]
+
+        def _fill_ac(lats, ll_dev):
+            """Fill acoustic costs with ONE device gather of exactly the
+            surviving (utt, t, pdf) loglik entries.  Fetching the full
+            [B, T, P] loglik block instead (round 4) moved ~258 MB per
+            128-utt chunk over the ~5-20 MB/s tunnel — it dominated the
+            whole decode (measured round 5: 44-57 s wall vs 12 s device
+            work); the survivors are ~3 MB."""
+            import jax
+
+            sizes = [lat.num_arcs for lat in lats]
+            total = int(np.sum(sizes))
+            if total == 0:
+                return
+            idx = np.empty(total, np.int64)
+            o = 0
+            for i, lat in enumerate(lats):
+                n = lat.num_arcs
+                pdfs = g.arc_pdf[lat.arc_id]
+                idx[o: o + n] = (np.int64(i) * t_pad
+                                 + lat.arc_t.astype(np.int64)) * p_tot + pdfs
+                o += n
+            k_pad = max(1024, 1 << (total - 1).bit_length())
+            idx_p = np.zeros(k_pad, np.int32)
+            idx_p[:total] = idx  # flat indices < B*T*P ~ 65M, int32-safe
+            ac = np.asarray(self._ac_gather(ll_dev, jnp.asarray(idx_p)))
+            o = 0
+            for lat, n in zip(lats, sizes):
+                lat.acoustic_cost = ac[o: o + n].copy()
+                o += n
 
         # Host lattice assembly overlaps the NEXT chunk's device FB: the
         # main thread keeps dispatching window programs while one worker
@@ -261,7 +301,15 @@ class Decoder:
 
         with ThreadPoolExecutor(max_workers=1) as pool:
             pending = None
+            pending_ll = None  # chunk's device loglikes, for the ac gather
             chunk_args = []  # (lo, hi, f, nf) per chunk, for redo + zip
+
+            def _drain_and_fill(fut, ll_dev):
+                _drain(fut)
+                ci = fut.result()[0]
+                if ci in results:
+                    _fill_ac(results[ci], ll_dev)
+
             for ci, lo in enumerate(range(0, len(utts), b_chunk)):
                 hi = min(len(utts), lo + b_chunk)
                 real = hi - lo
@@ -281,18 +329,17 @@ class Decoder:
                         ll, nf, acoustic_scale=acwt,
                         lattice_beam=self.opts.lattice_beam, window=window,
                         mask_budget=budget)
-                ll_np = np.asarray(ll)
                 log.debug("decode_lattice: chunk %d fb+fetch %.2fs",
                           ci + 1, time.perf_counter() - t_fb0)
                 if pending is not None:
-                    _drain(pending)
-                pending = pool.submit(_assemble, ci, sparse, ll_np, nf,
-                                      use_final)
+                    _drain_and_fill(pending, pending_ll)
+                pending = pool.submit(_assemble, ci, sparse, nf, use_final)
+                pending_ll = ll
                 if ci == 0 or (ci + 1) % 8 == 0 or ci + 1 == n_chunks:
                     log.info("decode_lattice: chunk %d/%d (%d utts) "
                              "dispatched", ci + 1, n_chunks, hi)
             if pending is not None:
-                _drain(pending)
+                _drain_and_fill(pending, pending_ll)
 
         for ci, clips in redo:
             # rare (measured ~0.1% of windows at this budget): redo the
@@ -309,7 +356,8 @@ class Decoder:
                     ll, nf, acoustic_scale=acwt,
                     lattice_beam=self.opts.lattice_beam, window=window)
             results[ci] = build_lattices_packed(
-                g, self.plan.row_arc, packed, np.asarray(ll), nf, use_final)
+                g, self.plan.row_arc, packed, None, nf, use_final)
+            _fill_ac(results[ci], ll)
         for ci, (lo, hi, _f, _nf) in enumerate(chunk_args):
             out.update(zip(utts[lo:hi], results[ci][:hi - lo]))
         return out

@@ -40,8 +40,12 @@ K_POST = 4  # posterior entries kept per frame (lattice posteriors are peaky)
 def decode_fmllr(hclg: Fst, trans_model: TransitionModel, am: AmDiagGmm,
                  alimdl: AmDiagGmm, lang: Lang, utts: list, feats: np.ndarray,
                  num_frames: np.ndarray, utt2spk: dict,
-                 opts: FmllrDecodeOptions = FmllrDecodeOptions()):
-    """Returns (results list[DecodeResult], transforms [S, D, D+1])."""
+                 opts: FmllrDecodeOptions = FmllrDecodeOptions(), mesh=None):
+    """Returns (results list[DecodeResult], transforms [S, D, D+1]).
+
+    ``mesh``: optional jax.sharding.Mesh — routes both fMLLR statistics
+    passes through the data-axis-sharded psum accumulator (SURVEY §2.6
+    P2; parallel/mesh.py)."""
     b, t_max, dim = feats.shape
     speakers = sorted({utt2spk[u] for u in utts})
     spk_idx = {s: i for i, s in enumerate(speakers)}
@@ -74,7 +78,7 @@ def decode_fmllr(hclg: Fst, trans_model: TransitionModel, am: AmDiagGmm,
         params = K.pack_gmm(model)
         beta, k, g = acc_fmllr_stats(
             params, jnp.asarray(model.means()), jnp.asarray(model.inv_vars),
-            base_rep, pdf_flat, wflat, spk_flat, len(speakers))
+            base_rep, pdf_flat, wflat, spk_flat, len(speakers), mesh=mesh)
         trans, imprs = estimate_fmllr_batch(np.asarray(beta), np.asarray(k),
                                             np.asarray(g),
                                             min_count=opts.fmllr_min_count)

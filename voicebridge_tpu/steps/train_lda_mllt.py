@@ -64,8 +64,12 @@ def train_lda_mllt(base_feats: dict, transcripts: dict, prev_alignments: dict,
                    lda_opts: LdaOptions = LdaOptions(),
                    splice_opts: SpliceOptions = SpliceOptions(),
                    prev_trans_model: TransitionModel | None = None,
-                   out_dir: str | Path | None = None):
-    """Returns (TrainedModel, final_mat [40, spliced_dim+1])."""
+                   out_dir: str | Path | None = None, mesh=None):
+    """Returns (TrainedModel, final_mat [40, spliced_dim+1]).
+
+    ``mesh``: optional jax.sharding.Mesh — routes the LDA / MLLT / tree
+    statistics accumulation through the data-axis-sharded psum programs
+    (SURVEY §2.6 P2; parallel/mesh.py)."""
     assert prev_trans_model is not None
     utts = sorted(base_feats)
     raw, num_frames = _batch(base_feats, utts)
@@ -90,7 +94,7 @@ def train_lda_mllt(base_feats: dict, transcripts: dict, prev_alignments: dict,
     pdfs0 = prev_trans_model.tid2pdf[tids0.reshape(-1)]
     counts, mean_acc, scatter = acc_lda_stats(
         jnp.asarray(spliced.reshape(b * t_max, sdim)), jnp.asarray(pdfs0),
-        jnp.asarray(w_lda.reshape(-1)), prev_trans_model.num_pdfs)
+        jnp.asarray(w_lda.reshape(-1)), prev_trans_model.num_pdfs, mesh=mesh)
     lda_mat = estimate_lda(np.asarray(counts), np.asarray(mean_acc),
                            np.asarray(scatter), lda_opts.dim,
                            lda_opts.within_class_factor)
@@ -105,7 +109,7 @@ def train_lda_mllt(base_feats: dict, transcripts: dict, prev_alignments: dict,
                   for i, u in enumerate(utts) if w0[i].sum() > 0}
     tree_stats = acc_tree_stats(ali_by_utt, feats_by_utt, prev_trans_model,
                                 opts.context_width, opts.central_position,
-                                ci_phones=sil_set)
+                                ci_phones=sil_set, mesh=mesh)
     tree = build_tree(tree_stats, lang, opts.context_width,
                       opts.central_position, num_leaves=opts.num_leaves)
     trans_model = TransitionModel(lang.topo, tree)
@@ -156,7 +160,7 @@ def train_lda_mllt(base_feats: dict, transcripts: dict, prev_alignments: dict,
                 params, jnp.asarray(am.means()), jnp.asarray(am.inv_vars),
                 jnp.asarray(feats.reshape(b * t_max, dim)),
                 jnp.asarray(trans_model.tid2pdf[tids.reshape(-1)]),
-                jnp.asarray(w_m))
+                jnp.asarray(w_m), mesh=mesh)
             m, impr = est_mllt(np.asarray(g), float(beta))
             log.info("train_lda_mllt iter %d: MLLT impr/frame %.5f", it, impr)
             transform_model_means(am, m)

@@ -48,11 +48,11 @@ class SatModel:
 
 
 def _estimate_transforms(am, trans_model, base_flat, pdfs_flat, w_flat,
-                         spk_flat, num_spk, min_count=500.0):
+                         spk_flat, num_spk, min_count=500.0, mesh=None):
     params = K.pack_gmm(am)
     beta, k, g = acc_fmllr_stats(
         params, jnp.asarray(am.means()), jnp.asarray(am.inv_vars),
-        base_flat, pdfs_flat, w_flat, spk_flat, num_spk)
+        base_flat, pdfs_flat, w_flat, spk_flat, num_spk, mesh=mesh)
     trans, imprs = estimate_fmllr_batch(np.asarray(beta), np.asarray(k),
                                         np.asarray(g), min_count=min_count)
     return trans, float(np.mean([i for i in imprs if i] or [0.0]))
@@ -62,8 +62,12 @@ def train_sat(base_feats: dict, utt2spk: dict, transcripts: dict,
               prev_alignments: dict, prev_am: AmDiagGmm, lang: Lang,
               opts: TriTrainOptions = TriTrainOptions(),
               prev_trans_model: TransitionModel | None = None,
-              out_dir: str | Path | None = None) -> SatModel:
-    """Full SAT training (see module docstring)."""
+              out_dir: str | Path | None = None, mesh=None) -> SatModel:
+    """Full SAT training (see module docstring).
+
+    ``mesh``: optional jax.sharding.Mesh — routes the fMLLR / tree
+    statistics accumulation through the data-axis-sharded psum programs
+    (SURVEY §2.6 P2; parallel/mesh.py)."""
     assert prev_trans_model is not None
     utts = sorted(base_feats)
     speakers = sorted({utt2spk[u] for u in utts})
@@ -93,7 +97,7 @@ def train_sat(base_feats: dict, utt2spk: dict, transcripts: dict,
         prev_am, prev_trans_model, base_flat,
         jnp.asarray(prev_trans_model.tid2pdf[tids.reshape(-1)]),
         jnp.asarray(fmllr_weights(prev_trans_model)),
-        jnp.asarray(spk_flat), num_spk)
+        jnp.asarray(spk_flat), num_spk, mesh=mesh)
     log.info("train_sat: initial fMLLR impr/frame %.4f (%d speakers)",
              impr, num_spk)
     feats = np.asarray(apply_fmllr_batch(jnp.asarray(raw), trans, spk_of_utt))
@@ -104,7 +108,7 @@ def train_sat(base_feats: dict, utt2spk: dict, transcripts: dict,
                   for i, u in enumerate(utts) if weights[i].sum() > 0}
     tree_stats = acc_tree_stats(ali_by_utt, feats_by_utt, prev_trans_model,
                                 opts.context_width, opts.central_position,
-                                ci_phones=sil_set)
+                                ci_phones=sil_set, mesh=mesh)
     tree = build_tree(tree_stats, lang, opts.context_width,
                       opts.central_position, num_leaves=opts.num_leaves)
     trans_model = TransitionModel(lang.topo, tree)
@@ -139,7 +143,7 @@ def train_sat(base_feats: dict, utt2spk: dict, transcripts: dict,
                 am, trans_model, base_flat,
                 jnp.asarray(trans_model.tid2pdf[tids.reshape(-1)]),
                 jnp.asarray(fmllr_weights(trans_model)),
-                jnp.asarray(spk_flat), num_spk)
+                jnp.asarray(spk_flat), num_spk, mesh=mesh)
             feats = np.asarray(apply_fmllr_batch(jnp.asarray(raw), trans,
                                                  spk_of_utt))
             log.info("train_sat iter %d: fMLLR impr/frame %.4f", it, impr)

@@ -59,12 +59,18 @@ def _fmllr_reduce_one(gmass, w_miv, w_iv, feats):
 def acc_fmllr_stats(params: GmmParams, means: jnp.ndarray, inv_vars: jnp.ndarray,
                     feats: jnp.ndarray, pdf_ids: jnp.ndarray,
                     weights: jnp.ndarray, spk_ids: jnp.ndarray,
-                    num_speakers: int, chunk: int = 1 << 14):
+                    num_speakers: int, chunk: int = 1 << 14, mesh=None):
     """feats [N, D]; spk_ids [N] -> (beta [S], K [S, D, D+1], G [S, D, D+1, D+1]).
 
     Host wrapper: frames are grouped per speaker and processed in fixed-size
     padded chunks so device intermediates stay bounded at corpus scale
-    (FmllrDiagGmmAccs role, ``transform/fmllr-diag-gmm.h:43-61``)."""
+    (FmllrDiagGmmAccs role, ``transform/fmllr-diag-gmm.h:43-61``).
+
+    With ``mesh`` set, speaker-major frame slabs are sharded over the data
+    axis and the per-speaker stats psum-reduced
+    (parallel/mesh.acc_fmllr_stats_sharded) — the reference's per-job fMLLR
+    acc files composed per speaker (``train_sat.cpp:906-954``) as one
+    collective."""
     feats = np.asarray(feats, np.float32)
     pdf_ids = np.asarray(pdf_ids, np.int32)
     weights = np.asarray(weights, np.float32)
@@ -73,6 +79,10 @@ def acc_fmllr_stats(params: GmmParams, means: jnp.ndarray, inv_vars: jnp.ndarray
     order = np.argsort(spk_ids, kind="stable")
     sorted_spk = spk_ids[order]
     starts = np.searchsorted(sorted_spk, np.arange(num_speakers + 1))
+    if mesh is not None:
+        return _acc_fmllr_stats_mesh(params, means, inv_vars, feats, pdf_ids,
+                                     weights, order, starts, num_speakers,
+                                     mesh)
     c = min(chunk, 1 << max(12, (max(n, 2) - 1).bit_length()))
     beta = np.zeros(num_speakers, np.float64)
     k = np.zeros((num_speakers, d, d + 1), np.float64)
@@ -98,6 +108,42 @@ def acc_fmllr_stats(params: GmmParams, means: jnp.ndarray, inv_vars: jnp.ndarray
     return (jnp.asarray(beta.astype(np.float32)),
             jnp.asarray(k.astype(np.float32)),
             jnp.asarray(g.astype(np.float32)))
+
+
+def _acc_fmllr_stats_mesh(params, means, inv_vars, feats, pdf_ids, weights,
+                          order, starts, num_speakers: int, mesh,
+                          t_slab: int = 1024):
+    """Speaker-major slab packing for the mesh-sharded fMLLR accumulator:
+    each speaker's frames are cut into rows of ``t_slab`` frames (zero
+    weight on padding), rows are padded to the data-axis size and tagged
+    with their speaker slot; the sharded program vmaps the per-row
+    contraction and segment-sums rows into disjoint speaker slots before
+    the psum (P4 speaker-affinity: rows stay speaker-contiguous)."""
+    from ..parallel.mesh import DATA_AXIS, acc_fmllr_stats_sharded
+
+    d = feats.shape[1]
+    rows = []
+    for s in range(num_speakers):
+        span = order[starts[s]: starts[s + 1]]
+        for lo in range(0, max(len(span), 1), t_slab):
+            rows.append((s, span[lo: lo + t_slab]))
+    nd = mesh.shape[DATA_AXIS]
+    # pad the row count to a power-of-two multiple of the axis so repeated
+    # calls share a handful of compiled shapes
+    n_rows = max(nd, 1 << (len(rows) - 1).bit_length())
+    n_rows = -(-n_rows // nd) * nd
+    f_r = np.zeros((n_rows, t_slab, d), np.float32)
+    p_r = np.zeros((n_rows, t_slab), np.int32)
+    w_r = np.zeros((n_rows, t_slab), np.float32)
+    slot_r = np.zeros(n_rows, np.int32)
+    for i, (s, idx) in enumerate(rows):
+        f_r[i, : len(idx)] = feats[idx]
+        p_r[i, : len(idx)] = pdf_ids[idx]
+        w_r[i, : len(idx)] = weights[idx]
+        slot_r[i] = s
+    acc = acc_fmllr_stats_sharded(mesh, num_speakers)
+    return acc(params, jnp.asarray(means), jnp.asarray(inv_vars),
+               f_r, p_r, w_r, slot_r)
 
 
 def estimate_fmllr(beta: float, k: np.ndarray, g: np.ndarray,

@@ -20,9 +20,21 @@ import numpy as np
 
 
 def acc_lda_stats(feats: jnp.ndarray, pdf_ids: jnp.ndarray,
-                  weights: jnp.ndarray, num_pdfs: int):
+                  weights: jnp.ndarray, num_pdfs: int, mesh=None):
     """feats [N, D] (spliced), pdf_ids [N], weights [N] ->
-    (counts [C], mean_acc [C, D], scatter [D, D])."""
+    (counts [C], mean_acc [C, D], scatter [D, D]).
+
+    With ``mesh`` set, frames are sharded over the data axis and the stats
+    psum-reduced (parallel/mesh.acc_lda_stats_sharded) — the reference's
+    per-job ``lda.JOBID.acc`` + est-lda file reduction
+    (``train_lda_mllt.cpp:305-376``) as one collective."""
+    if mesh is not None:
+        from ..parallel.mesh import acc_lda_stats_sharded, pad_to_mesh
+
+        f, ids, w = pad_to_mesh(mesh, np.asarray(feats, np.float32),
+                                np.asarray(pdf_ids, np.int32),
+                                np.asarray(weights, np.float32))
+        return acc_lda_stats_sharded(mesh, num_pdfs)(f, ids, w)
     w = weights
     counts = jax.ops.segment_sum(w, pdf_ids, num_pdfs)
     mean_acc = jax.ops.segment_sum(feats * w[:, None], pdf_ids, num_pdfs)

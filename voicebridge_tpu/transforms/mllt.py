@@ -46,18 +46,32 @@ def _mllt_chunk(params: GmmParams, means, inv_vars, feats, pdf_ids, weights):
 
 def acc_mllt_stats(params: GmmParams, means: jnp.ndarray, inv_vars: jnp.ndarray,
                    feats: jnp.ndarray, pdf_ids: jnp.ndarray,
-                   weights: jnp.ndarray, chunk: int = 1 << 13):
+                   weights: jnp.ndarray, chunk: int = 1 << 13, mesh=None):
     """feats [N, D]; means/inv_vars [P, M, D] -> (G [D, D, D], beta).
 
     Chunked host wrapper (fixed-size zero-weight-padded chunks) over the
     jitted contraction — the reference's per-frame loop
     (MlltAccs::AccumulateFromPosteriors) at corpus scale.
-    """
+
+    With ``mesh`` set, each chunk's frames are sharded over the data axis
+    and its (G, beta) psum-reduced (parallel/mesh.acc_mllt_stats_sharded) —
+    the reference's per-job ``m.JOBID.macc`` + est-mllt file reduction
+    (``train_lda_mllt.cpp:694-``) as one collective per chunk."""
     feats = np.asarray(feats, np.float32)
     pdf_ids = np.asarray(pdf_ids, np.int32)
     weights = np.asarray(weights, np.float32)
     n, d = feats.shape
     c = min(chunk, 1 << max(11, (max(n, 2) - 1).bit_length()))
+    acc_fn = _mllt_chunk
+    if mesh is not None:
+        from ..parallel.mesh import DATA_AXIS, acc_mllt_stats_sharded
+
+        nd = mesh.shape[DATA_AXIS]
+        c = -(-c // nd) * nd  # chunk divisible by the data axis
+        sharded = acc_mllt_stats_sharded(mesh)
+
+        def acc_fn(params, means, inv_vars, xs, ps, ws):  # noqa: F811
+            return sharded(params, means, inv_vars, xs, ps, ws)
     g = np.zeros((d, d, d), np.float64)
     beta = 0.0
     for lo in range(0, n, c):
@@ -71,8 +85,8 @@ def acc_mllt_stats(params: GmmParams, means: jnp.ndarray, inv_vars: jnp.ndarray,
             ws[: hi - lo] = weights[lo:hi]
         else:
             xs, ps, ws = feats[lo:hi], pdf_ids[lo:hi], weights[lo:hi]
-        g_c, b_c = _mllt_chunk(params, means, inv_vars, jnp.asarray(xs),
-                               jnp.asarray(ps), jnp.asarray(ws))
+        g_c, b_c = acc_fn(params, means, inv_vars, jnp.asarray(xs),
+                          jnp.asarray(ps), jnp.asarray(ws))
         g += np.asarray(g_c, np.float64)
         beta += float(b_c)
     return jnp.asarray(g.astype(np.float32)), beta
