@@ -183,18 +183,77 @@ def compute_nccf(wave: np.ndarray, opts: PitchOptions):
     return nccf_pitch_i @ taps.T, nccf_pov_i @ taps.T, lags
 
 
+_PITCH_LIB = None
+_PITCH_TRIED = False
+
+
+def _native_lib():
+    """The shared native library (voicebridge_tpu/native/libvbwfst.so, which
+    also carries the pitch Viterbi kernel), or None without a compiler."""
+    global _PITCH_LIB, _PITCH_TRIED
+    if _PITCH_LIB is not None or _PITCH_TRIED:
+        return _PITCH_LIB
+    _PITCH_TRIED = True
+    import ctypes
+    from pathlib import Path
+
+    lib_path = Path(__file__).resolve().parent.parent / "native" / \
+        "libvbwfst.so"
+    if not lib_path.exists():
+        import subprocess
+        try:
+            subprocess.run(["make", "-C", str(lib_path.parent)], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+        if not lib_path.exists():
+            return None
+    lib = ctypes.CDLL(str(lib_path))
+    try:
+        fn = lib.vb_pitch_viterbi
+    except AttributeError:
+        return None
+    fn.restype = ctypes.c_int
+    fn.argtypes = [ctypes.c_int32, ctypes.c_int32,
+                   ctypes.POINTER(ctypes.c_double), ctypes.c_double,
+                   ctypes.POINTER(ctypes.c_int32)]
+    _PITCH_LIB = lib
+    return lib
+
+
 def viterbi_pitch(nccf_pitch: np.ndarray, lags: np.ndarray,
                   opts: PitchOptions) -> np.ndarray:
     """Steps 4-5: minimum-cost lag track [T] (ComputeBacktraces:306-371).
 
     cost(t, i) = local_cost(t, i) + min_j [ (j-i)^2 * ifactor + cost(t-1, j) ]
     with local_cost = 1 - nccf * (1 - soft_min_f0 * lag) and
-    ifactor = log(1 + delta_pitch)^2 * penalty_factor."""
+    ifactor = log(1 + delta_pitch)^2 * penalty_factor.
+
+    The recursion's inner minimum is a 1-D squared-distance transform; the
+    native kernel (native/pitch.cpp) computes it with the O(L)
+    lower-envelope algorithm — ~100x over the numpy [L, L]-candidate
+    formulation, which was 84% of the whole pitch chain (round-5 profile).
+    The numpy fallback below keeps the package importable without a
+    compiler; both give identical tracks except at exact-tie boundaries of
+    measure zero."""
     t, l = nccf_pitch.shape
     if t == 0:
         return np.zeros(0, np.int64)
     local = 1.0 - nccf_pitch * (1.0 - opts.soft_min_f0 * lags[None, :])
     ifactor = np.log(1.0 + opts.delta_pitch) ** 2 * opts.penalty_factor
+    lib = _native_lib()
+    if lib is not None:
+        import ctypes
+
+        local_c = np.ascontiguousarray(local, np.float64)
+        track32 = np.zeros(t, np.int32)
+        rc = lib.vb_pitch_viterbi(
+            np.int32(t), np.int32(l),
+            local_c.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            float(ifactor),
+            track32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        if rc == 0:
+            return track32.astype(np.int64)
     idx = np.arange(l)
     trans = (idx[:, None] - idx[None, :]).astype(np.float64) ** 2 * ifactor
     cost = local[0].copy()
