@@ -254,8 +254,9 @@ TRAIN_CONFIGS = [
 # real-HCLG decode: (mode, batch, frames, iters, timeout_s); ladder per
 # mode.  The graph is prebuilt + disk-cached ONCE by the parent (see main),
 # so children only pay the ~10 s npz load.  Iteration counts are sized to
-# the round-4 measured rates (best-path ~205, lattice worst ~13, lattice
-# realistic ~35 audio-s/s) so each child fits its timeout with compile.
+# the round-5 measured rates (best-path ~157-205, lattice worst ~15,
+# lattice realistic ~44-55 audio-s/s; tunnel-bandwidth dependent) so each
+# child fits its timeout with compile.
 REAL_CONFIGS = [
     ("best_path", 128, 1000, 3, 420),
     ("best_path", 32, 500, 3, 300),
@@ -363,6 +364,18 @@ def main():
         return
 
     deadline = time.time() + BUDGET_S
+    # Per-run provenance rides every printed record (VERDICT r4 ask #8):
+    # committed docs cite numbers by commit+date, so a stale quote is
+    # detectable against the BENCH_r{N}.json it claims to come from.
+    try:
+        sha = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                             capture_output=True, text=True, timeout=10,
+                             cwd=os.path.dirname(os.path.abspath(__file__))
+                             ).stdout.strip()
+    except Exception:
+        sha = "unknown"
+    prov = {"git": sha or "unknown",
+            "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
     # ladder 1: flagship synthetic decode — the round-over-round headline
     rec = _run_ladder(CONFIGS, "VB_BENCH_CHILD", "decode", deadline)
     if rec is None or "metric" not in rec:
@@ -371,6 +384,7 @@ def main():
         rec = {"metric": "decode_audio_seconds_per_sec_1chip",
                "value": 0.0, "unit": "audio-s/s", "vs_baseline": 0.0,
                "error": err}
+    rec["provenance"] = prov
     print(json.dumps(rec), flush=True)  # evidence survives any later kill
 
     # ladders 2-4: real compiled-HCLG decode — best-path + both lattice

@@ -13,8 +13,10 @@ searching it, but without materializing the FST.  Round 3 used Dijkstra
 over the same state space; with higher-order histories its frontier
 exploded (2 words/s on cmudict) and its expansion cap could dead-end long
 words with empty output.  The beam decoder visits at most ``beam_size``
-states per input position, never dead-ends (unseen graphemes are skipped
-with a penalty), and measures 200+ words/s on cmudict (CMUDICT.md).
+states per input position and never dead-ends (unseen graphemes are
+skipped with a penalty).  Measured on full-cmudict training (CMUDICT.md
+v3): 67.7% exact / 7.6% PER held out at 131 words/s (beam 16; beams 24-48
+measured identical accuracy, only slower).
 """
 
 from __future__ import annotations
@@ -235,7 +237,9 @@ class G2PModel:
         n = len(graphemes)
         max_hist = self.arpa.order - 1
         if beam_size is None:
-            beam_size = 24 if nbest == 1 else max(48, 8 * nbest)
+            # beam 16 measured accuracy-equal to 24/32/48 on full-cmudict
+            # held-out (67.7% exact) at 1.5-4x the speed (CMUDICT.md v3)
+            beam_size = 16 if nbest == 1 else max(48, 8 * nbest)
         keep = 1 if nbest == 1 else nbest
         score = self.arpa._score_word
 
