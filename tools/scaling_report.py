@@ -213,11 +213,19 @@ def main() -> None:
                       f"{real.get('train_config')}"]
         for key, label in (
                 ("real_hclg_best_path", "real-HCLG decode (best path)"),
-                ("real_hclg_lattice", "real-HCLG decode (lattice)")):
+                ("real_hclg_lattice", "real-HCLG decode (lattice, "
+                 "worst-case density)"),
+                ("real_hclg_lattice_realistic",
+                 "real-HCLG decode (lattice, realistic density)")):
             v = real.get(f"{key}_audio_seconds_per_sec_1chip")
             if v:
                 lines += [f"- {label}: **{v} audio-s/s** at "
                           f"{real.get(f'{key}_config')}"]
+        prov = real.get("provenance")
+        if prov:
+            lines += ["", f"Measured at commit `{prov.get('git')}` "
+                      f"({prov.get('utc')}); the driver re-captures the "
+                      "same bench as BENCH_r{N}.json each round."]
     else:
         lines += [f"- ({bench_path.name} missing or degraded; see the "
                   "driver's BENCH_r*.json)"]
@@ -250,7 +258,28 @@ def main() -> None:
         "in the hot loop); train adds one `psum` of the EM sufficient",
         "statistics per step (`parallel/mesh.py em_estep_sharded`), the",
         "TPU-native replacement for the reference's per-job accumulator",
-        "files + `GmmSumAccs` reduction (SURVEY.md §2.6 P1/P2).",
+        "files + `GmmSumAccs` reduction (SURVEY.md §2.6 P1/P2).  Round 5",
+        "extended the psum paths to the LDA/MLLT/fMLLR/tree accumulators",
+        "(`acc_*_stats_sharded`) and the multichip dryrun to the lattice +",
+        "fMLLR decode path.",
+        "",
+        "## Environment sensitivity (driver-vs-builder deltas, round 5)",
+        "",
+        "The remote-TPU tunnel's host<->device bandwidth was MEASURED to",
+        "swing between ~4.9 and ~21 MB/s within one session (round 5,",
+        "tools/profile_lattice.py methodology), and a tiny-fetch round trip",
+        "costs ~55 ms.  Fetch-bound paths (lattice survivor masks; any",
+        "per-iteration host reads) therefore vary up to ~2x run-to-run,",
+        "which explains the round-4 builder-vs-driver gaps (205 vs 156.7",
+        "best-path; 35.2 vs 21.39 realistic-lattice) without any code",
+        "difference.  The round-4 train-EM 'halving' (3337 -> 1662) had a",
+        "real component on top of this: the bench measured a non-production",
+        "accumulator and re-uploaded the alignment band plan every",
+        "iteration (both fixed round 5 — commit 52905b2: train 3642",
+        "re-measured).  The round-5 decode work removed the largest",
+        "fetch-bound terms (deferred count-first sparse fetch; acoustic",
+        "costs gathered on device instead of a 258 MB loglik fetch), which",
+        "both speeds the path up and shrinks its bandwidth sensitivity.",
         "",
     ]
     Path(args.out).write_text("\n".join(lines))

@@ -19,11 +19,29 @@ import os
 
 
 def setdefault_compilation_cache(path: str | None = None) -> str:
-    """Set JAX_COMPILATION_CACHE_DIR (if unset) to a per-user location and
-    return the effective value.  Respects an existing env setting."""
+    """Set JAX's compilation cache dir (if unset) to a per-user location and
+    return the effective value.  Respects an existing env setting.
+
+    The env var alone is NOT enough when something imported jax before this
+    runs — the axon environment's sitecustomize does exactly that at
+    interpreter startup, which left every round-5 entry point compiling
+    cold (the cache dir was never even created).  So when jax is already
+    importable the setting is also pushed through jax.config, which takes
+    effect for all later compiles."""
     if path is None:
         base = os.environ.get("XDG_CACHE_HOME",
                               os.path.join(os.path.expanduser("~"), ".cache"))
         path = os.path.join(base, "vb_jax")
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", path)
-    return os.environ["JAX_COMPILATION_CACHE_DIR"]
+    eff = os.environ["JAX_COMPILATION_CACHE_DIR"]
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", eff)
+        # the default min-entry-size setting skips caching small programs;
+        # the decode path is built from many medium window programs, so
+        # cache everything (cache misses cost minutes on the remote worker)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+    return eff
