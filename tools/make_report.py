@@ -120,12 +120,14 @@ def main():
             "states, unlike bench.py's idealized synthetic graph.",
             "",
         ]
-        for mode in ("best_path", "lattice"):
+        for mode in ("best_path", "lattice", "lattice_real"):
             if mode in realg:
                 m = realg[mode]
                 lines.append(
                     f"- {mode}: **{m['audio_s_per_s']} audio-s/s** at "
                     f"batch {m['batch']} × {m['frames']} frames")
+        if realg.get("note"):
+            lines += ["", realg["note"]]
         lines.append("")
     if args.notes and Path(args.notes).exists():
         lines += [Path(args.notes).read_text().rstrip(), ""]

@@ -296,11 +296,24 @@ class Project:
         (LDA+MLLT+SAT, ``LibriSpeech.cpp:514-543``); without it, over
         delta features — the reference's tri3c (DELTA+SAT)."""
         out = self.exp_dir / name
+        if not force and (out / "final.am.npz").exists() and \
+                (out / "final.alimdl.npz").exists():
+            log.info("train_sat: loading existing %s", out)
+            return self.load_sat_model(name)
         return _train_sat(self._train_feats(final_mat),
                           self.train_data.utt2spk, self.transcripts(),
                           alignments, prev.am, self.lang,
                           opts or TriTrainOptions(),
                           prev_trans_model=prev.trans_model, out_dir=out)
+
+    def load_sat_model(self, name: str) -> SatModel:
+        """Reload a saved SAT system.  Training-speaker transforms are not
+        persisted (nothing downstream consumes them — decode_fmllr estimates
+        the TEST speakers' transforms from its own SI pass), so the reloaded
+        SatModel carries an empty transforms dict."""
+        model = self.load_model(name)
+        alimdl = AmDiagGmm.load(self.exp_dir / name / "final.alimdl.npz")
+        return SatModel(model=model, alimdl=alimdl, transforms={})
 
     def load_model(self, name: str) -> TrainedModel:
         out = self.exp_dir / name
