@@ -23,7 +23,7 @@ import numpy as np
 from ..config import FmllrDecodeOptions
 from ..data.lang import Lang
 from ..fst.core import Fst
-from ..lat import lattice_best_path, lattice_to_post, rescore_lattice_acoustics
+from ..lat import lattice_best_path, lattice_to_post
 from ..models.gmm import AmDiagGmm
 from ..models.transition import TransitionModel
 from ..transforms.fmllr import (acc_fmllr_stats, apply_fmllr_batch,
@@ -105,21 +105,45 @@ def decode_fmllr(hclg: Fst, trans_model: TransitionModel, am: AmDiagGmm,
 
     # ---- stage 4: rescore + true pruned determinization ---------------------
     # (GmmRescoreLattice -> LatticeDeterminizePruned, decode_fmllr.cpp:583-640)
+    from dataclasses import replace as _dc_replace
+
     from ..lat import determinize_lattice_pruned_safe
+    from .decode import Decoder as _D
 
     results = []
     num_pdfs = int(am.num_pdfs)
-    # the [B, T, P] loglikes are fetched for host-side rescoring — bound the
-    # transfer per sub-batch (the remote link chokes on >~200 MB fetches)
-    b_chunk = max(4, int(64e6 // max(t_max * num_pdfs * 4, 1)))
+    g = ad_dec.graph
+    # Rescoring needs ll2 only at each lattice's surviving (t, pdf) — the
+    # round-4 full [B, T, P] host fetch moved ~450 MB over the 5-20 MB/s
+    # tunnel and dominated the fMLLR decode stage (round-5 profile); one
+    # flat device gather per sub-batch moves ~2 MB instead (same design as
+    # Decoder._fill_ac).
+    b_chunk = 64
     for lo in range(0, len(utts), b_chunk):
         hi = min(len(utts), lo + b_chunk)
-        ll2 = np.asarray(K.loglikes_batch(ad_dec.params,
-                                          jnp.asarray(adapted2[lo:hi])))
-        for j, u in enumerate(utts[lo:hi]):
-            lat = rescore_lattice_acoustics(ad_lats[u], ll2[j])
+        ll2_dev = K.loglikes_batch(ad_dec.params, jnp.asarray(adapted2[lo:hi]))
+        lats_c = [ad_lats[u] for u in utts[lo:hi]]
+        sizes = [lat.num_arcs for lat in lats_c]
+        total = int(np.sum(sizes))
+        idx = np.empty(max(total, 1), np.int64)
+        o = 0
+        for j, lat in enumerate(lats_c):
+            pdfs = g.arc_pdf[lat.arc_id]
+            idx[o: o + lat.num_arcs] = \
+                (np.int64(j) * t_max + lat.arc_t.astype(np.int64)) \
+                * num_pdfs + pdfs
+            o += lat.num_arcs
+        k_pad = max(1024, 1 << (max(total, 2) - 1).bit_length())
+        idx_p = np.zeros(k_pad, np.int32)
+        idx_p[:total] = idx[:total]
+        ac = np.asarray(_D._ac_gather(ll2_dev, jnp.asarray(idx_p)))
+        o = 0
+        for u, lat, n in zip(utts[lo:hi], lats_c, sizes):
+            lat2 = _dc_replace(lat, acoustic_cost=ac[o: o + n].copy(),
+                               _states={})
+            o += n
             clat = determinize_lattice_pruned_safe(
-                lat, beam=opts.lattice_beam, lm_scale=1.0,
+                lat2, beam=opts.lattice_beam, lm_scale=1.0,
                 acoustic_scale=opts.acoustic_scale)
             p = clat.best_path(lm_scale=1.0,
                                acoustic_scale=opts.acoustic_scale)
