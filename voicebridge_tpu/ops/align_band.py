@@ -99,16 +99,23 @@ def _bfs_order(g: DenseGraph) -> Optional[np.ndarray]:
 
 
 def build_band_plan(graphs: list[DenseGraph], pad_states: int | None = None,
-                    max_band: int = 48) -> Optional[BandPlan]:
+                    max_band: int = 48,
+                    reason: list | None = None) -> Optional[BandPlan]:
     """Build the banded batch plan, or None if the set isn't banded-friendly
     (band wider than ``max_band`` offsets, or a graph whose incoming arcs
-    disagree on the destination pdf)."""
+    disagree on the destination pdf).  Pass a list as ``reason`` to receive
+    a one-string diagnostic on failure (which constraint, which graph) —
+    the fallback is all-or-nothing for the batch, so knowing WHICH graph
+    broke it matters (round-5 flagship: one seed's triphone graph set fell
+    back wholesale)."""
     b = len(graphs)
     s_pad = pad_states or max(g.num_states for g in graphs)
     orders, poss, offs_all = [], [], set()
-    for g in graphs:
+    for gi, g in enumerate(graphs):
         order = _bfs_order(g)
         if order is None:
+            if reason is not None:
+                reason.append(f"graph {gi} has no start state")
             return None
         pos = np.empty(g.num_states, np.int64)
         pos[order] = np.arange(g.num_states)
@@ -119,6 +126,11 @@ def build_band_plan(graphs: list[DenseGraph], pad_states: int | None = None,
             offs_all.update(int(o) for o in np.unique(offs))
     offsets = tuple(sorted(offs_all))
     if len(offsets) == 0 or len(offsets) > max_band:
+        if reason is not None:
+            reason.append(f"band width {len(offsets)} exceeds max_band "
+                          f"{max_band} (offset span "
+                          f"[{min(offs_all, default=0)}, "
+                          f"{max(offs_all, default=0)}])")
         return None
     koff = {o: k for k, o in enumerate(offsets)}
     k = len(offsets)
@@ -142,6 +154,10 @@ def build_band_plan(graphs: list[DenseGraph], pad_states: int | None = None,
             d = int(dst_n[a])
             p = int(g.arc_pdf[a])
             if seen_pdf[d] >= 0 and seen_pdf[d] != p:
+                if reason is not None:
+                    reason.append(
+                        f"graph {i} not dst-pure: state {d} entered with "
+                        f"pdfs {seen_pdf[d]} and {p}")
                 return None
             seen_pdf[d] = p
             kk = koff[int(dst_n[a] - src_n[a])]

@@ -127,11 +127,13 @@ class AlignmentSet:
         """Banded plan (ops/align_band.py), or None when the graph set
         doesn't fit the banded form (wide band / non-dst-pure pdfs)."""
         if self._band is _UNSET:
-            self._band = (AB.build_band_plan(self.graphs)
+            why: list = []
+            self._band = (AB.build_band_plan(self.graphs, reason=why)
                           if self.graphs else None)
             if self._band is None and self.graphs:
-                log.info("alignment: graphs not banded-friendly, using the "
-                         "generic gather kernel")
+                log.info("alignment: graphs not banded-friendly (%s), using "
+                         "the generic gather kernel for the whole batch",
+                         why[0] if why else "unknown")
         return self._band
 
     @property
