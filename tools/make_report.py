@@ -91,8 +91,13 @@ def main():
             aps = (f"{st['audio_s'] / st['wall_s']:.1f}"
                    if st.get("audio_s") else "—")
             lines.append(f"| {name} | {st['wall_s']:.1f} | {aps} |")
-        lines += ["", f"Total wall: **{rep['wall_s']:.0f}s** "
-                  f"(reference: ~25 min for its smaller real corpus).", ""]
+        wall = f"Total wall: **{rep['wall_s']:.0f}s**"
+        if rep.get("wall_s_warm_run"):
+            wall += (f" first full run (cold jit) / "
+                     f"**{rep['wall_s_warm_run']:.0f}s** warm re-run "
+                     f"(training mtime-skipped, compile cache hot)")
+        lines += ["", wall +
+                  " (reference: ~25 min for its smaller real corpus).", ""]
     if bench:
         lines += [
             "## Real-chip hot-path benchmarks (bench.py, 1× TPU v5e)",

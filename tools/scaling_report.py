@@ -148,7 +148,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=str(REPO / "SCALING.md"))
     ap.add_argument("--sizes", default="1,2,4,8")
-    ap.add_argument("--bench", default=str(REPO / "bench_out_r3.json"),
+    ap.add_argument("--bench", default=str(REPO / "bench_out_r5.json"),
                     help="bench.py output JSON (real-chip absolute numbers)")
     ap.add_argument("--rows-cache", default=None,
                     help="read/write the virtual-mesh rows here (lets the "
